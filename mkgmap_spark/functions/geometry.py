@@ -1,0 +1,370 @@
+"""Geometry kernels over packed int coordinate arrays.
+
+Re-expressions of mkgmap's geometry algorithms (reference file:line cited
+per function) as vectorized numpy code.  Coordinates are int64 numpy
+arrays of map units (mapunits.py); exact integer arithmetic is used for
+orientation/area/PIP so results are deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# signed area / orientation
+# --------------------------------------------------------------------------
+
+
+def shoelace2(lats: np.ndarray, lons: np.ndarray) -> int:
+    """Twice the signed area of a ring, exact int arithmetic.
+
+    Semantics of ShapeMergeFilter.calcAreaSizeTestVal
+    (filters/ShapeMergeFilter.java:515) and Way.clockwise
+    (reader/osm/Way.java:216-237): positive = counter-clockwise.
+    The ring may or may not repeat the first point at the end.
+    """
+    la = np.asarray(lats, dtype=np.int64)
+    lo = np.asarray(lons, dtype=np.int64)
+    if len(la) >= 2 and la[0] == la[-1] and lo[0] == lo[-1]:
+        la, lo = la[:-1], lo[:-1]
+    if len(la) < 3:
+        return 0
+    lo2 = np.roll(lo, -1)
+    la2 = np.roll(la, -1)
+    # use python ints to avoid int64 overflow on huge rings
+    return int(np.sum((lo * la2 - lo2 * la), dtype=object))
+
+
+def is_clockwise(lats: np.ndarray, lons: np.ndarray) -> bool:
+    """Way.clockwise (Way.java:216-237): negative shoelace = clockwise."""
+    return shoelace2(lats, lons) < 0
+
+
+def centroid(lats: np.ndarray, lons: np.ndarray) -> tuple[int, int]:
+    """Centre of gravity, rounded mean (Way.getCofG, Way.java:193-208)."""
+    la = np.asarray(lats, dtype=np.int64)
+    lo = np.asarray(lons, dtype=np.int64)
+    n = max(len(la), 1)
+    return (int(np.round(la.sum() / n)), int(np.round(lo.sum() / n)))
+
+
+# --------------------------------------------------------------------------
+# point in polygon (winding number, exact integers)
+# --------------------------------------------------------------------------
+
+
+def winding_number(py: np.ndarray, px: np.ndarray, ring_y: np.ndarray, ring_x: np.ndarray) -> np.ndarray:
+    """Winding number of many points against one ring, vectorized over points.
+
+    Same decision as java.awt.Polygon.contains on high-precision ints as
+    used by MultiPolygonRelation (MultiPolygonRelation.java:1516,
+    Java2DConverter.createHighPrecPolygon:116): nonzero winding = inside.
+    Points exactly on an edge get an implementation-defined nonzero/zero
+    result; callers that care use :func:`on_boundary`.
+
+    py/px: (n,) point coords.  ring_y/ring_x: (m,) closed or open ring.
+    Returns (n,) int winding numbers.
+    """
+    ry = np.asarray(ring_y, dtype=np.int64)
+    rx = np.asarray(ring_x, dtype=np.int64)
+    if len(ry) >= 2 and ry[0] == ry[-1] and rx[0] == rx[-1]:
+        ry, rx = ry[:-1], rx[:-1]
+    n = len(py)
+    m = len(ry)
+    if m < 3 or n == 0:
+        return np.zeros(n, dtype=np.int64)
+    py = np.asarray(py, dtype=np.int64).reshape(-1, 1)  # (n,1)
+    px = np.asarray(px, dtype=np.int64).reshape(-1, 1)
+    y1 = ry.reshape(1, -1)                              # (1,m)
+    x1 = rx.reshape(1, -1)
+    y2 = np.roll(ry, -1).reshape(1, -1)
+    x2 = np.roll(rx, -1).reshape(1, -1)
+
+    # cross = (x2-x1)*(py-y1) - (y2-y1)*(px-x1)   sign = side of edge
+    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    upward = (y1 <= py) & (y2 > py)
+    downward = (y1 > py) & (y2 <= py)
+    wn = np.sum(upward & (cross > 0), axis=1) - np.sum(downward & (cross < 0), axis=1)
+    return wn.astype(np.int64)
+
+
+def points_in_ring(py: np.ndarray, px: np.ndarray, ring_y: np.ndarray, ring_x: np.ndarray) -> np.ndarray:
+    """Boolean inside test (nonzero winding)."""
+    return winding_number(py, px, ring_y, ring_x) != 0
+
+
+def points_in_polygon(py: np.ndarray, px: np.ndarray, rings: list[tuple[np.ndarray, np.ndarray, bool]]) -> np.ndarray:
+    """Inside test against a polygon with holes.
+
+    rings: list of (lats, lons, is_hole). A point is inside iff it is
+    inside at least one outer ring and inside no hole (even-odd between
+    outer and holes, matching MultiPolygonRelation's outer-minus-inner
+    model, MultiPolygonRelation.java:1356-1453).
+    """
+    n = len(py)
+    inside = np.zeros(n, dtype=bool)
+    for ry, rx, is_hole in rings:
+        if not is_hole:
+            inside |= points_in_ring(py, px, ry, rx)
+    for ry, rx, is_hole in rings:
+        if is_hole:
+            inside &= ~points_in_ring(py, px, ry, rx)
+    return inside
+
+
+# --------------------------------------------------------------------------
+# line clipping (Liang-Barsky) — LineClipper.java:40-122
+# --------------------------------------------------------------------------
+
+
+def clip_polyline(lats: np.ndarray, lons: np.ndarray, bbox: tuple[int, int, int, int]) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Clip a polyline to bbox=(min_lat, min_lon, max_lat, max_lon).
+
+    Liang-Barsky per segment, merging consecutive surviving segments into
+    sublines — the observable behaviour of general/LineClipper.java:40-122
+    (returns null if wholly inside; we just return the single part).
+    Returns a list of (lats, lons) float64 parts (clipped endpoints may be
+    fractional before re-quantization; callers round back to int).
+    """
+    la = np.asarray(lats, dtype=np.float64)
+    lo = np.asarray(lons, dtype=np.float64)
+    miny, minx, maxy, maxx = (float(v) for v in bbox)
+    if len(la) < 2:
+        inside = (la >= miny) & (la <= maxy) & (lo >= minx) & (lo <= maxx)
+        return [(la, lo)] if inside.all() and len(la) else []
+
+    y1, y2 = la[:-1], la[1:]
+    x1, x2 = lo[:-1], lo[1:]
+    dy, dx = y2 - y1, x2 - x1
+
+    t0 = np.zeros(len(dy))
+    t1 = np.ones(len(dy))
+    valid = np.ones(len(dy), dtype=bool)
+    for p, q in (
+        (-dx, x1 - minx),
+        (dx, maxx - x1),
+        (-dy, y1 - miny),
+        (dy, maxy - y1),
+    ):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(p != 0, q / np.where(p == 0, 1.0, p), 0.0)
+        ent = (p < 0)
+        ext = (p > 0)
+        par = (p == 0) & (q < 0)  # parallel and outside
+        valid &= ~par
+        t0 = np.where(ent, np.maximum(t0, r), t0)
+        t1 = np.where(ext, np.minimum(t1, r), t1)
+    valid &= t0 <= t1
+
+    parts: list[tuple[list[float], list[float]]] = []
+    cur_y: list[float] = []
+    cur_x: list[float] = []
+    prev_exit_clipped = True
+    for i in range(len(dy)):
+        if not valid[i]:
+            if cur_y:
+                parts.append((cur_y, cur_x))
+                cur_y, cur_x = [], []
+            prev_exit_clipped = True
+            continue
+        sy = y1[i] + t0[i] * dy[i]
+        sx = x1[i] + t0[i] * dx[i]
+        ey = y1[i] + t1[i] * dy[i]
+        ex = x1[i] + t1[i] * dx[i]
+        # join to the running part only through an original (unclipped)
+        # shared vertex — a clipped exit then re-entry is two sublines
+        # (LineClipper.java:40-122 emits one subline per continuous run)
+        joinable = (
+            cur_y
+            and not prev_exit_clipped
+            and t0[i] == 0.0
+            and cur_y[-1] == sy
+            and cur_x[-1] == sx
+        )
+        if joinable:
+            cur_y.append(ey)
+            cur_x.append(ex)
+        else:
+            if cur_y:
+                parts.append((cur_y, cur_x))
+            cur_y = [sy, ey]
+            cur_x = [sx, ex]
+        prev_exit_clipped = t1[i] != 1.0
+    if cur_y:
+        parts.append((cur_y, cur_x))
+    return [(np.asarray(a), np.asarray(b)) for a, b in parts]
+
+
+# --------------------------------------------------------------------------
+# polygon clipping (Sutherland-Hodgman) — ShapeSplitter.java:157-283
+# --------------------------------------------------------------------------
+
+
+def clip_ring(lats: np.ndarray, lons: np.ndarray, bbox: tuple[int, int, int, int]) -> tuple[np.ndarray, np.ndarray]:
+    """Clip one ring to a rectangle, Sutherland-Hodgman per edge
+    (util/ShapeSplitter.java:157-283 clipSinglePathWithSutherlandHodgman).
+    Returns possibly-empty (lats, lons) float arrays of the clipped ring.
+    """
+    la = np.asarray(lats, dtype=np.float64)
+    lo = np.asarray(lons, dtype=np.float64)
+    if len(la) >= 2 and la[0] == la[-1] and lo[0] == lo[-1]:
+        la, lo = la[:-1], lo[:-1]
+    miny, minx, maxy, maxx = (float(v) for v in bbox)
+
+    def clip_edge(ys, xs, inside_fn, intersect_fn):
+        if len(ys) == 0:
+            return ys, xs
+        out_y: list[float] = []
+        out_x: list[float] = []
+        n = len(ys)
+        for i in range(n):
+            cy, cx = ys[i], xs[i]
+            py, px = ys[i - 1], xs[i - 1]
+            cin = inside_fn(cy, cx)
+            pin = inside_fn(py, px)
+            if cin:
+                if not pin:
+                    iy, ix = intersect_fn(py, px, cy, cx)
+                    out_y.append(iy)
+                    out_x.append(ix)
+                out_y.append(cy)
+                out_x.append(cx)
+            elif pin:
+                iy, ix = intersect_fn(py, px, cy, cx)
+                out_y.append(iy)
+                out_x.append(ix)
+        return out_y, out_x
+
+    def x_at(py, px, cy, cx, yline):
+        t = (yline - py) / (cy - py)
+        return yline, px + t * (cx - px)
+
+    def y_at(py, px, cy, cx, xline):
+        t = (xline - px) / (cx - px)
+        return py + t * (cy - py), xline
+
+    ys, xs = list(la), list(lo)
+    ys, xs = clip_edge(ys, xs, lambda y, x: y >= miny, lambda py, px, cy, cx: x_at(py, px, cy, cx, miny))
+    ys, xs = clip_edge(ys, xs, lambda y, x: y <= maxy, lambda py, px, cy, cx: x_at(py, px, cy, cx, maxy))
+    ys, xs = clip_edge(ys, xs, lambda y, x: x >= minx, lambda py, px, cy, cx: y_at(py, px, cy, cx, minx))
+    ys, xs = clip_edge(ys, xs, lambda y, x: x <= maxx, lambda py, px, cy, cx: y_at(py, px, cy, cx, maxx))
+    return np.asarray(ys), np.asarray(xs)
+
+
+# --------------------------------------------------------------------------
+# Douglas-Peucker — filters/DouglasPeuckerFilter.java:52-135
+# --------------------------------------------------------------------------
+
+
+def douglas_peucker_mask(lats: np.ndarray, lons: np.ndarray, max_error: float, preserved: np.ndarray | None = None) -> np.ndarray:
+    """Boolean keep-mask for DP simplification.
+
+    Iterative stack version of DouglasPeuckerFilter.doFilter
+    (DouglasPeuckerFilter.java:52-135); distance = perpendicular distance
+    to the chord (Coord.shortestDistToLineSegment:836 semantics in map
+    units).  ``preserved`` points are never dropped (Coord.preserved()).
+    """
+    la = np.asarray(lats, dtype=np.float64)
+    lo = np.asarray(lons, dtype=np.float64)
+    n = len(la)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if preserved is not None:
+        keep |= np.asarray(preserved, dtype=bool)
+
+    # split at preserved points like the reference splits at them
+    anchors = np.flatnonzero(keep)
+    stack: list[tuple[int, int]] = [(anchors[i], anchors[i + 1]) for i in range(len(anchors) - 1)]
+    while stack:
+        lo_i, hi_i = stack.pop()
+        if hi_i - lo_i < 2:
+            continue
+        ay, ax = la[lo_i], lo[lo_i]
+        by, bx = la[hi_i], lo[hi_i]
+        seg_y = la[lo_i + 1 : hi_i]
+        seg_x = lo[lo_i + 1 : hi_i]
+        dy, dx = by - ay, bx - ax
+        L2 = dy * dy + dx * dx
+        if L2 == 0:
+            dist = np.hypot(seg_y - ay, seg_x - ax)
+        else:
+            t = np.clip(((seg_y - ay) * dy + (seg_x - ax) * dx) / L2, 0.0, 1.0)
+            dist = np.hypot(seg_y - (ay + t * dy), seg_x - (ax + t * dx))
+        k = int(np.argmax(dist))
+        if dist[k] > max_error:
+            mid = lo_i + 1 + k
+            keep[mid] = True
+            stack.append((lo_i, mid))
+            stack.append((mid, hi_i))
+    return keep
+
+
+# --------------------------------------------------------------------------
+# segment x segment intersection — imgfmt/Utils.getSegmentSegmentIntersection
+# --------------------------------------------------------------------------
+
+
+def segments_intersect(a1y, a1x, a2y, a2x, b1y, b1x, b2y, b2x) -> np.ndarray:
+    """Vectorized proper-or-touching segment intersection test.
+
+    Inputs are broadcastable arrays of segment endpoints.  Mirrors the
+    parametric test in imgfmt/Utils.getSegmentSegmentIntersection: returns
+    True where segments share at least one point (including collinear
+    overlap and endpoint touch).
+    """
+    a1y, a1x, a2y, a2x, b1y, b1x, b2y, b2x = (np.asarray(v, dtype=np.int64) for v in (a1y, a1x, a2y, a2x, b1y, b1x, b2y, b2x))
+
+    d1 = (a2x - a1x) * (b1y - a1y) - (a2y - a1y) * (b1x - a1x)
+    d2 = (a2x - a1x) * (b2y - a1y) - (a2y - a1y) * (b2x - a1x)
+    d3 = (b2x - b1x) * (a1y - b1y) - (b2y - b1y) * (a1x - b1x)
+    d4 = (b2x - b1x) * (a2y - b1y) - (b2y - b1y) * (a2x - b1x)
+
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+
+    def on_seg(py, px, sy1, sx1, sy2, sx2, colin):
+        return (
+            colin
+            & (np.minimum(sx1, sx2) <= px)
+            & (px <= np.maximum(sx1, sx2))
+            & (np.minimum(sy1, sy2) <= py)
+            & (py <= np.maximum(sy1, sy2))
+        )
+
+    touch = (
+        on_seg(b1y, b1x, a1y, a1x, a2y, a2x, d1 == 0)
+        | on_seg(b2y, b2x, a1y, a1x, a2y, a2x, d2 == 0)
+        | on_seg(a1y, a1x, b1y, b1x, b2y, b2x, d3 == 0)
+        | on_seg(a2y, a2x, b1y, b1x, b2y, b2x, d4 == 0)
+    )
+    return proper | touch
+
+
+# --------------------------------------------------------------------------
+# distances — imgfmt/app/Coord.java:432 (equirectangular), :481 (haversine)
+# --------------------------------------------------------------------------
+
+EARTH_RADIUS_M = 6378137.0  # same value as Coord.R (WGS84 equatorial)
+
+
+def mu_to_rad(mu: np.ndarray) -> np.ndarray:
+    return np.asarray(mu, dtype=np.float64) * (2.0 * np.pi / (1 << 24))
+
+
+def distance_equirect_m(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Equirectangular approximation (Coord.distance, Coord.java:432),
+    inputs in map units, output meters."""
+    p1, l1, p2, l2 = (mu_to_rad(v) for v in (lat1, lon1, lat2, lon2))
+    x = (l2 - l1) * np.cos((p1 + p2) / 2.0)
+    y = p2 - p1
+    return np.hypot(x, y) * EARTH_RADIUS_M
+
+
+def distance_haversine_m(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Haversine distance (Coord.distanceHaversine, Coord.java:481)."""
+    p1, l1, p2, l2 = (mu_to_rad(v) for v in (lat1, lon1, lat2, lon2))
+    dphi = p2 - p1
+    dlmb = l2 - l1
+    a = np.sin(dphi / 2.0) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlmb / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))

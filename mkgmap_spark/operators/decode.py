@@ -1,0 +1,129 @@
+"""Decode interleaved documents (doc_id, spans) into OSM-style features.
+
+The input table has the BASELINE.json input_hint shape::
+
+    documents(doc_id:string,
+              spans:array<struct<kind:string, text:string,
+                                 media_ref:string, offset:int>>)
+
+Span conventions (FIXTURES.md §1): 'tag' spans carry "key=value", 'coord'
+spans carry "<lat_mu>,<lon_mu>" int map units (1 coord = node, >=2 =
+way, first==last = closed polygon), 'member' spans carry
+"role:type:doc_id", 'text' free text, 'media' a raster thumb reference.
+
+This is the engine's analogue of mkgmap's readers + ElementSaver
+(reader/osm/OsmHandler.java:150-160, ElementSaver.java:49-106): the
+way->node coordinate resolution join disappears because coords are
+inline; relations keep (role, type, ref) members for the relation-member
+join (ElementSaver.java:140-165).
+
+Everything below is Catalyst higher-order functions — filter/transform/
+sort_array/map_from_entries run JVM-side inside whole-stage codegen; no
+Python touches the rows.  The span-sequence invariant is trivially
+preserved: this is a derivation, documents are never rewritten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..mapunits import MAX_RESOLUTION
+
+
+def _spans_of(kind: str) -> Column:
+    return F.expr(f"filter(spans, s -> s.kind = '{kind}')")
+
+
+def decode_documents(documents: DataFrame) -> DataFrame:
+    """documents -> features(id, kind, tags, lats, lons, closed, members,
+    n_text_spans, media_refs, min_res).
+
+    Documents with no coord and no member spans (pure text/media docs)
+    are kept with kind='doc' so downstream text/dedup operators can use
+    them; the tiling pipeline filters kind != 'doc'.
+    """
+    # coord spans, ordered by offset (sort_array on leading struct field)
+    # try_cast: one malformed span must never fail a 100-TB job — bad
+    # coords are dropped like mkgmap skips unparseable input with a log
+    # warning (reader/osm/xml/OsmXmlHandler error handling)
+    coords = F.expr(
+        "filter(transform("
+        "  sort_array(transform(filter(spans, s -> s.kind = 'coord'),"
+        "                       s -> struct(s.offset as o, s.text as t))),"
+        "  p -> struct(try_cast(split(p.t, ',')[0] as int) as lat,"
+        "              try_cast(split(p.t, ',')[1] as int) as lon)),"
+        " c -> c.lat is not null and c.lon is not null)"
+    )
+    tags = F.expr(
+        "map_from_entries(transform(filter(spans, s -> s.kind = 'tag'),"
+        " s -> struct(split(s.text, '=', 2)[0], split(s.text, '=', 2)[1])))"
+    )
+    members = F.expr(
+        "transform("
+        "  sort_array(transform(filter(spans, s -> s.kind = 'member'),"
+        "                       s -> struct(s.offset as o, s.text as t))),"
+        "  m -> struct(split(m.t, ':', 3)[0] as role,"
+        "              split(m.t, ':', 3)[1] as mtype,"
+        "              cast(regexp_extract(split(m.t, ':', 3)[2], '([0-9]+)', 1) as bigint) as ref))"
+    )
+
+    df = (
+        documents.withColumn("_coords", coords)
+        .withColumn("tags", tags)
+        .withColumn("members", members)
+        .withColumn("id", F.regexp_extract("doc_id", r"(\d+)", 1).cast("bigint"))
+    )
+
+    n_coords = F.size("_coords")
+    kind = (
+        F.when(F.size("members") > 0, F.lit("relation"))
+        .when(n_coords == 1, F.lit("node"))
+        .when(n_coords >= 2, F.lit("way"))
+        .otherwise(F.lit("doc"))
+    )
+    closed = F.when(
+        (n_coords >= 3)
+        & (F.try_element_at("_coords", F.lit(1))["lat"] == F.try_element_at("_coords", F.lit(-1))["lat"])
+        & (F.try_element_at("_coords", F.lit(1))["lon"] == F.try_element_at("_coords", F.lit(-1))["lon"]),
+        F.lit(True),
+    ).otherwise(F.lit(False))
+
+    # per-feature LOD range: the style engine will set this (rules/);
+    # fixtures encode it as a mkgmap:min_res tag, default = max resolution
+    min_res = F.coalesce(
+        F.col("tags").getItem("mkgmap:min_res").cast("int"), F.lit(MAX_RESOLUTION)
+    )
+
+    return df.select(
+        "id",
+        F.col("doc_id"),
+        kind.alias("kind"),
+        "tags",
+        F.expr("transform(_coords, c -> c.lat)").alias("lats"),
+        F.expr("transform(_coords, c -> c.lon)").alias("lons"),
+        closed.alias("closed"),
+        "members",
+        F.expr("size(filter(spans, s -> s.kind = 'text'))").alias("n_text_spans"),
+        F.expr("transform(filter(spans, s -> s.kind = 'media'), s -> s.media_ref)").alias(
+            "media_refs"
+        ),
+        min_res.alias("min_res"),
+    )
+
+
+def span_sequence_fingerprint(documents: DataFrame) -> DataFrame:
+    """Per-document fingerprint of the span sequence.
+
+    Used to verify the per-row invariant (BASELINE.json input_hint):
+    surviving documents must keep (kind, text, media_ref) in offset
+    order byte-identical.  md5 over the concatenated ordered sequence;
+    computed with pure Column ops.
+    """
+    seq = F.expr(
+        "array_join(transform("
+        "  sort_array(transform(spans, s -> struct(s.offset as o,"
+        "    concat_ws('\\u0001', s.kind, coalesce(s.text, ''), coalesce(s.media_ref, '')) as v))),"
+        "  p -> p.v), '\\u0002')"
+    )
+    return documents.select("doc_id", F.md5(seq).alias("span_fp"))

@@ -1,0 +1,49 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Tuned for correctness + scale-readiness: AQE on (runtime skew-join and
+partition coalescing), Arrow enabled for the vectorized UDF kernels,
+map-key dedup LAST_WIN (tag maps may repeat keys; mkgmap's Tags.put is
+last-wins, reader/osm/Tags.java).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mkgmap_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    cpus = os.cpu_count() or 8
+    if shuffle_partitions is None:
+        # match parallelism, not the 200 default — local mode shuffles
+        # through driver disk, oversized partition counts only add overhead
+        n = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(n) if n and n.isdigit() else cpus
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
