@@ -1,0 +1,79 @@
+"""Bench harness: runs the headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Usage:
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Optional: BENCH_QUERIES=comma,list to restrict; BENCH_REPEAT=n.
+The scaling-efficiency protocol (same input, local[8] vs local[32]) is
+driven by scripts/scaling_bench.py and reported in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+
+    from mkgmap_spark.session import get_spark
+    from mkgmap_spark.queries import QUERIES
+
+    spark = get_spark(
+        app_name="mkgmap_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else None,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        },
+    )
+
+    only = os.environ.get("BENCH_QUERIES")
+    names = [n.strip() for n in only.split(",")] if only else list(QUERIES)
+
+    # warm the JVM + parquet footers once so per-query times measure the
+    # queries, not session bring-up
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        fn = QUERIES[name]
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+        rows[name] = n
+
+    total = round(sum(timings.values()), 4)
+    n_docs = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    tile_t = timings.get("tile_assign")
+    out = {
+        "metric": "end-to-end tile-assignment + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "rows": rows,
+        "cpus": cpus,
+        "docs_per_sec": round(n_docs / tile_t, 1) if tile_t else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

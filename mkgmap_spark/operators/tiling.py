@@ -14,34 +14,37 @@ imgfmt/app/Area.java:150-215) as a Spark-first program:
     JVM-side Column arithmetic — no Python in the row path.
 
 2.  A bounded per-cell histogram (``groupBy(cell).agg(counts, sizes)``)
-    is collected to the driver; the driver runs the deterministic
-    quadtree split loop (thresholds verbatim from MapSplitter.java:42-66:
-    MAX_DIVISION_SIZE=0x7fff, MAX_RGN_SIZE=0xfff8, MAX_NUM_LINES=0xff,
-    MAX_NUM_POINTS=0xff, WANTED_MAX_AREA_SIZE=0x3fff, MIN_DIMENSION=10).
-    Dense ("urban") regions whose decisions need finer cells than the
-    current histogram trigger *batched hierarchical refinement*: one
-    extra Spark aggregation per refinement round, restricted to the hot
-    regions only.  This is the skew-detection / adaptive-split path: the
-    driver never holds more than ``MAX_CELLS_PER_FETCH`` cells per
-    region, regardless of input scale.
+    is collected to the driver; the driver decides every split with the
+    thresholds verbatim from MapSplitter.java:42-66 (MAX_DIVISION_SIZE=
+    0x7fff, MAX_RGN_SIZE=0xfff8, MAX_NUM_LINES=0xff, MAX_NUM_POINTS=0xff,
+    WANTED_MAX_AREA_SIZE=0x3fff, MIN_DIMENSION=10).  The split hierarchy
+    is the deterministic halve-the-longer-axis chain, so the driver can
+    evaluate *all* areas of one granularity round fully vectorized:
+    numpy bincount roll-up of the cell pyramid + array-filtered
+    top-down sweep (no per-area Python).  Dense ("urban") regions whose
+    decisions need finer cells than the current histogram trigger
+    *batched hierarchical refinement*: one extra Spark aggregation per
+    round, restricted to the hot blocks only — the skew-detection /
+    adaptive-split path.  The driver never holds more than the occupied
+    cells of the active regions, regardless of input scale.
 
-3.  The resulting split tree is broadcast and walked *vectorized* inside
-    one Arrow-batched UDF to assign every feature a tile id; overflow
-    tiles (area too small to divide but over the caps —
-    MapSplitter.addAreasToList:186-195, MapArea.distShapesIntoNewAreas)
-    are handled by a per-(tile,kind) round-robin slot.
+3.  Tiles are aligned power-of-2 blocks; assignment is a per-depth
+    ``searchsorted`` lookup over the broadcast block index, applied
+    vectorized inside one Arrow-batched UDF.  Overflow tiles (area too
+    small to divide but over the caps — MapSplitter.addAreasToList:
+    186-195, MapArea.distShapesIntoNewAreas) get a per-(tile,kind)
+    round-robin slot.
 
 Documented divergences from the reference (shared bit-for-bit with the
 pure-Python oracle in mkgmap_spark/oracle/tiles.py, which implements the
 same rules element-at-a-time):
 
-- the root area is the smallest power-of-2-sized, origin-aligned square
-  of the global quadtree that covers the data (instead of the raw data
-  bbox).  Consequence: *every* split boundary is exactly representable
-  at every histogram granularity, so the distributed histogram decisions
-  equal the element-at-a-time decisions.  The reference instead rounds
-  each boundary with Area.roundPof2 (Area.java:150) — same alignment
-  idea, applied per split.
+- the root area is the smallest power-of-2 square covering the data,
+  min corner aligned to half its size.  Consequence: every split
+  boundary is exactly representable at every histogram granularity, so
+  distributed histogram decisions equal element-at-a-time decisions.
+  (The reference instead rounds each boundary with Area.roundPof2,
+  Area.java:150 — same alignment idea, applied per split.)
 - MapSplitter.splitMaxSize's initial even grid is folded into the
   recursion as ``mustSplit if dim>>shift > MAX_DIVISION_SIZE`` — the
   resulting invariant (every tile dimension <= MAX_DIVISION_SIZE<<shift)
@@ -55,13 +58,14 @@ same rules element-at-a-time):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cells import CELL_OFFSET, CELL_SPAN
 from ..mapunits import MAX_RESOLUTION, floor_pof2
 
 # --- thresholds, verbatim from MapSplitter.java:42-66 ---------------------
@@ -77,10 +81,11 @@ WANTED_MAX_AREA_SIZE = 0x3FFF
 
 POINT_KIND, LINE_KIND, SHAPE_KIND = 0, 1, 2
 
-# max cells the driver will hold per fetched region; 2^12 per axis =
-# up to ~16M total only in the pathological uniform case, typical fetches
-# return only occupied cells (<< bound).
-FETCH_AXIS_BITS = 6  # 2^6 x 2^6 = 4096 candidate cells per region/round
+# histogram fetch granularity: cover ~2^FETCH_AXIS_BITS further split
+# levels per axis per refinement round
+FETCH_AXIS_BITS = 7
+
+AGG_COLS = ["n_p", "n_l", "n_s", "s_p", "s_l", "s_s"]
 
 
 # --------------------------------------------------------------------------
@@ -102,8 +107,6 @@ def prepare_features(features: DataFrame) -> DataFrame:
         .when(F.col("closed") & (npts >= 4), F.lit(SHAPE_KIND))
         .otherwise(F.lit(LINE_KIND))
     )
-    # assignment point: node -> its coord; way -> bbox centre (floor mean
-    # of min/max, matching the oracle's integer arithmetic)
     ay = F.floor((F.array_min("lats").cast("long") + F.array_max("lats").cast("long")) / 2).cast("int")
     ax = F.floor((F.array_min("lons").cast("long") + F.array_max("lons").cast("long")) / 2).cast("int")
 
@@ -128,10 +131,8 @@ def prepare_features(features: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# histogram provider
+# histogram providers
 # --------------------------------------------------------------------------
-
-AGG_COLS = ["n_p", "n_l", "n_s", "s_p", "s_l", "s_s"]
 
 
 @dataclass
@@ -162,7 +163,7 @@ class SparkHistogramProvider:
     ``df`` must be a prepared features DataFrame already filtered to the
     level's resolution (min_res <= resolution), ideally cached — every
     refinement round is one aggregation job against it, filtered to the
-    hot regions (Catalyst pushes the bbox conjunctions into the scan).
+    hot regions only.
     """
 
     def __init__(self, df: DataFrame):
@@ -172,12 +173,45 @@ class SparkHistogramProvider:
     def fetch(self, regions: list[Region], gshift: int) -> pd.DataFrame:
         """One Spark job: per-cell aggregates for the union of regions.
 
-        Returns pandas DataFrame with columns cy, cx (cell coords at
-        ``gshift``) + AGG_COLS.  Regions are disjoint, so the driver can
-        re-attribute cells to regions by coordinates.
+        Returns pandas DataFrame with cy, cx (absolute cell coords at
+        ``gshift``) + AGG_COLS.
         """
-        pred = None
+        # Regions are quadtree blocks (dims 2^a x 2^b, min corner aligned
+        # to its dim) except possibly the root. Grouping by (a, b) turns
+        # the filter into a handful of `block_id IN (...)` predicates —
+        # flat no matter how many hot regions a refinement round carries
+        # (an OR-chain of bbox conjunctions overflows the JVM expression
+        # stack past a few hundred regions).
+        grouped: dict[tuple[int, int], list[int]] = {}
+        others: list[Region] = []
         for r in regions:
+            h, w = r.h, r.w
+            if h > 0 and w > 0 and (h & (h - 1)) == 0 and (w & (w - 1)) == 0 and r.min_y % h == 0 and r.min_x % w == 0:
+                a, b = h.bit_length() - 1, w.bit_length() - 1
+                key = ((r.min_y >> a) + CELL_OFFSET) * CELL_SPAN + (r.min_x >> b) + CELL_OFFSET
+                grouped.setdefault((a, b), []).append(key)
+            else:
+                others.append(r)
+        parts: list[DataFrame] = []
+        for (a, b), keys in grouped.items():
+            blk = (F.shiftright(F.col("ay").cast("long"), a) + CELL_OFFSET) * CELL_SPAN + (
+                F.shiftright(F.col("ax").cast("long"), b) + CELL_OFFSET
+            )
+            if len(keys) <= 32:
+                parts.append(self.df.filter(blk.isin(keys)))
+            else:
+                # thousands of hot blocks: a python-literal IN list costs
+                # one py4j round-trip per key — ship them as a broadcast
+                # semi-join instead (regions are disjoint, no dup rows)
+                spark = self.df.sparkSession
+                keys_df = spark.createDataFrame(pd.DataFrame({"_blk": np.asarray(keys, dtype=np.int64)}))
+                parts.append(
+                    self.df.withColumn("_blk", blk)
+                    .join(F.broadcast(keys_df), "_blk", "left_semi")
+                    .drop("_blk")
+                )
+        pred = None
+        for r in others:
             p = (
                 (F.col("ay") >= r.min_y)
                 & (F.col("ay") < r.max_y)
@@ -185,20 +219,25 @@ class SparkHistogramProvider:
                 & (F.col("ax") < r.max_x)
             )
             pred = p if pred is None else (pred | p)
-        d = self.df.filter(pred) if pred is not None else self.df
+        if pred is not None:
+            parts.append(self.df.filter(pred))
+        if not parts:
+            d = self.df
+        else:
+            d = parts[0]
+            for p_ in parts[1:]:
+                d = d.unionByName(p_)
+
         cy = F.shiftright(F.col("ay").cast("long"), gshift).alias("cy")
         cx = F.shiftright(F.col("ax").cast("long"), gshift).alias("cx")
         k = F.col("kind_i")
-        agg = (
-            d.groupBy(cy, cx)
-            .agg(
-                F.sum(F.when(k == POINT_KIND, 1).otherwise(0)).alias("n_p"),
-                F.sum(F.when(k == LINE_KIND, 1).otherwise(0)).alias("n_l"),
-                F.sum(F.when(k == SHAPE_KIND, 1).otherwise(0)).alias("n_s"),
-                F.sum(F.when(k == POINT_KIND, F.col("size_bytes")).otherwise(0)).alias("s_p"),
-                F.sum(F.when(k == LINE_KIND, F.col("size_bytes")).otherwise(0)).alias("s_l"),
-                F.sum(F.when(k == SHAPE_KIND, F.col("size_bytes")).otherwise(0)).alias("s_s"),
-            )
+        agg = d.groupBy(cy, cx).agg(
+            F.sum(F.when(k == POINT_KIND, 1).otherwise(0)).alias("n_p"),
+            F.sum(F.when(k == LINE_KIND, 1).otherwise(0)).alias("n_l"),
+            F.sum(F.when(k == SHAPE_KIND, 1).otherwise(0)).alias("n_s"),
+            F.sum(F.when(k == POINT_KIND, F.col("size_bytes")).otherwise(0)).alias("s_p"),
+            F.sum(F.when(k == LINE_KIND, F.col("size_bytes")).otherwise(0)).alias("s_l"),
+            F.sum(F.when(k == SHAPE_KIND, F.col("size_bytes")).otherwise(0)).alias("s_s"),
         )
         self.jobs += 1
         return agg.toPandas()
@@ -251,43 +290,25 @@ class InMemoryHistogramProvider:
 
 
 # --------------------------------------------------------------------------
-# split tree
+# the split hierarchy
+#
+# The halve-the-longer-axis rule from a square root gives a fixed shape
+# chain: (a, a) --lat--> (a-1, a) --lon--> (a-1, a-1) --> ...   where a
+# block of shape (a, b) spans 2^a x 2^b map units (b - a is 0 or 1).
+# Depth key s = a + b is unique per shape.  Block coords (by, bx) are
+# RELATIVE to the root min corner: abs_min = root_min + (by<<a, bx<<b).
 # --------------------------------------------------------------------------
 
 
-@dataclass
-class Tile:
-    tile_id: int
-    level: int
-    min_lat: int
-    min_lon: int
-    max_lat: int
-    max_lon: int
-    n_slots: int  # >1 for overflow areas (round-robin per kind)
-    n_points: int
-    n_lines: int
-    n_shapes: int
-    size_bytes: int
-    parent_id: int  # within-level split-tree parent (-1 for root)
-
-
-# tree node encoding (plain tuples — broadcast-friendly):
-#   ("leaf", tile_id, n_slots)
-#   ("split", axis, boundary, lo_child, hi_child)    axis: 0=lat, 1=lon
-#   ("empty",)
-TreeNode = tuple
+def _shape(s: int) -> tuple[int, int]:
+    a = s // 2
+    return a, s - a
 
 
 def compute_root(data: Region, shift: int) -> Region:
-    """Smallest power-of-2 square covering the data, anchored at
-    half-size alignment (min corner a multiple of 2^(g-1)).
-
-    The half-size anchor (rather than full 2^g alignment) is what makes
-    origin-straddling data coverable; every descendant split boundary is
-    still a multiple of its own dimension, so boundaries stay exactly
-    representable in any histogram at granularity <= the area dimension
-    (the engine/oracle equivalence precondition).
-    """
+    """Smallest power-of-2 square covering the data, min corner aligned
+    to half its size (coverable even when data straddles the origin);
+    every descendant boundary is a multiple of its own dimension."""
     min_size = max(data.max_dim, (MIN_DIMENSION << shift) * 2, 2)
     g = 1
     while (1 << g) < min_size:
@@ -302,192 +323,243 @@ def compute_root(data: Region, shift: int) -> Region:
 
 
 @dataclass
-class _Pending:
-    region: Region
+class Tile:
+    tile_id: int
+    level: int
+    min_lat: int
+    min_lon: int
+    max_lat: int
+    max_lon: int
+    n_slots: int
+    n_points: int
+    n_lines: int
+    n_shapes: int
+    size_bytes: int
     parent_id: int
-    # histogram slice for this region (cell coords at gshift + aggregates)
-    cells: np.ndarray  # (n, 2) int64 [cy, cx]
-    aggs: np.ndarray  # (n, 6) int64
-    gshift: int
+
+
+@dataclass
+class TileIndex:
+    """Broadcast-friendly assignment index: per depth s, the sorted
+    relative block keys and their (base tile id, n_slots)."""
+
+    root_min_y: int
+    root_min_x: int
+    levels: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]  # s -> (keys, tile_ids, n_slots)
+
+    def assign(self, ay: np.ndarray, ax: np.ndarray) -> np.ndarray:
+        ay = np.asarray(ay, dtype=np.int64)
+        ax = np.asarray(ax, dtype=np.int64)
+        out = np.full(len(ay), -1, dtype=np.int64)
+        ty = ay - self.root_min_y
+        tx = ax - self.root_min_x
+        todo = np.arange(len(ay))
+        for s in sorted(self.levels, reverse=True):
+            if len(todo) == 0:
+                break
+            keys, tids, _slots = self.levels[s]
+            a, b = _shape(s)
+            k = ((ty[todo] >> a) << 32) | (tx[todo] >> b)
+            pos = np.searchsorted(keys, k)
+            pos_c = np.clip(pos, 0, len(keys) - 1)
+            hit = keys[pos_c] == k
+            out[todo[hit]] = tids[pos_c[hit]]
+            todo = todo[~hit]
+        return out
 
 
 @dataclass
 class SplitResult:
     tiles: list[Tile]
-    tree: TreeNode
+    index: TileIndex
     refine_rounds: int
     cells_fetched: int
 
 
-def split_level(provider, shift: int, level: int = 0) -> SplitResult:
-    """Run the MapSplitter recursion for one level against a provider."""
-    data = provider.data_bounds()
-    tiles: list[Tile] = []
-    if data is None:
-        return SplitResult(tiles, ("empty",), 0, 0)
-    root = compute_root(data, shift)
+def _dedupe_sum(keys: np.ndarray, aggs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    uk, inv = np.unique(keys, return_inverse=True)
+    out = np.empty((len(uk), aggs.shape[1]), dtype=np.int64)
+    for c in range(aggs.shape[1]):
+        out[:, c] = np.bincount(inv, weights=aggs[:, c], minlength=len(uk)).astype(np.int64)
+    return uk, out
 
-    refine_rounds = 0
+
+def split_level(provider, shift: int, level: int = 0) -> SplitResult:
+    """Run the MapSplitter decision loop for one level.
+
+    Vectorized rounds: fetch cells for the active blocks -> roll the
+    aggregate pyramid up with bincounts -> sweep top-down with boolean
+    masks -> emit tiles / collect refinement blocks -> repeat for the
+    hot blocks at finer granularity.
+    """
+    data = provider.data_bounds()
+    if data is None:
+        return SplitResult([], TileIndex(0, 0, {}), 0, 0)
+    root = compute_root(data, shift)
+    g = (root.h).bit_length() - 1  # root is 2^g x 2^g
+    mn_y, mn_x = root.min_y, root.min_x
+
+    # pending: dict s -> int64 array of block keys ((by<<32)|bx) to evaluate
+    pending: dict[int, np.ndarray] = {2 * g: np.array([0], dtype=np.int64)}
+
+    raw_tiles: list[tuple] = []  # (s, key, n_slots, n_p, n_l, n_s, s_tot)
+    refine_rounds = -1
     cells_fetched = 0
 
-    def initial_g(region: Region) -> int:
-        g = max(shift, region.max_dim.bit_length() - 1 - FETCH_AXIS_BITS)
-        return g
+    while pending:
+        refine_rounds += 1
+        s_top = max(pending)
+        # fetch granularity: FETCH_AXIS_BITS further split levels below
+        # the deepest pending block, never below the level shift
+        a_min = min(_shape(s)[0] for s in pending)
+        gc = max(shift, a_min - FETCH_AXIS_BITS)
 
-    g0 = initial_g(root)
-    hist = provider.fetch([root], g0)
-    cells_fetched += len(hist)
-    cells0 = hist[["cy", "cx"]].to_numpy(dtype=np.int64)
-    aggs0 = hist[AGG_COLS].to_numpy(dtype=np.int64)
-
-    # the tree is built as a nested list structure we mutate in place
-    def make_node() -> list:
-        return ["empty"]
-
-    root_node = make_node()
-    queue: list[tuple[Region, int, np.ndarray, np.ndarray, int, list]] = [
-        (root, -1, cells0, aggs0, g0, root_node)
-    ]
-
-    while queue:
-        refits: list[tuple[Region, int, list]] = []
-        next_queue: list[tuple[Region, int, np.ndarray, np.ndarray, int, list]] = []
-
-        for region, parent_id, cells, aggs, g, node in queue:
-            _process(
-                region, parent_id, cells, aggs, g, node, shift, level, tiles, next_queue, refits
-            )
-
-        if refits:
-            refine_rounds += 1
-            regions = [r for r, _, _ in refits]
-            g_new = max(shift, min(r.max_dim for r in regions).bit_length() - 1 - FETCH_AXIS_BITS)
-            hist = provider.fetch(regions, g_new)
-            cells_fetched += len(hist)
-            hc = hist[["cy", "cx"]].to_numpy(dtype=np.int64)
-            ha = hist[AGG_COLS].to_numpy(dtype=np.int64)
-            for region, parent_id, node in refits:
-                m = (
-                    (hc[:, 0] >= (region.min_y >> g_new))
-                    & (hc[:, 0] <= ((region.max_y - 1) >> g_new))
-                    & (hc[:, 1] >= (region.min_x >> g_new))
-                    & (hc[:, 1] <= ((region.max_x - 1) >> g_new))
+        regions = []
+        for s, keys in pending.items():
+            a, b = _shape(s)
+            for k in keys.tolist():
+                by, bx = k >> 32, k & 0xFFFFFFFF
+                regions.append(
+                    Region(
+                        mn_y + (by << a),
+                        mn_x + (bx << b),
+                        mn_y + ((by + 1) << a),
+                        mn_x + ((bx + 1) << b),
+                    )
                 )
-                next_queue.append((region, parent_id, hc[m], ha[m], g_new, node))
+        hist = provider.fetch(regions, gc)
+        cells_fetched += len(hist)
+        if len(hist) == 0:
+            break
+        cy = hist["cy"].to_numpy(np.int64)
+        cx = hist["cx"].to_numpy(np.int64)
+        aggs = hist[AGG_COLS].to_numpy(np.int64)
+        # translate to root-relative block coords at granularity gc
+        by = cy - (mn_y >> gc)
+        bx = cx - (mn_x >> gc)
 
-        queue = next_queue
+        # roll the pyramid up from (gc, gc) to (a_top, b_top)
+        pyramid: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        keys = (by << 32) | bx
+        keys, A = _dedupe_sum(keys, aggs)
+        s = 2 * gc
+        pyramid[s] = (keys, A)
+        while s < s_top:
+            if s % 2 == 0:  # (a,a) -> parent (a, a+1): x halves
+                keys = ((keys >> 32) << 32) | ((keys & 0xFFFFFFFF) >> 1)
+            else:  # (a, a+1) -> parent (a+1, a+1): y halves
+                keys = (((keys >> 32) >> 1) << 32) | (keys & 0xFFFFFFFF)
+            keys, A = _dedupe_sum(keys, A)
+            s += 1
+            pyramid[s] = (keys, A)
 
-    _renumber(tiles, root_node)
-    return SplitResult(tiles, _freeze(root_node), refine_rounds, cells_fetched)
+        # top-down sweep
+        next_pending: dict[int, np.ndarray] = {}
+        active: dict[int, np.ndarray] = {}
+        for s, ks in pending.items():
+            active[s] = np.asarray(ks, dtype=np.int64)
+        for s in range(s_top, 2 * gc - 1, -1):
+            act = active.pop(s, None)
+            if act is None or s not in pyramid:
+                continue
+            keys, A = pyramid[s]
+            sel = np.isin(keys, act)
+            if not sel.any():
+                continue
+            bkeys = keys[sel]
+            bA = A[sel]
+            a, b = _shape(s)
+            max_dim = 1 << max(a, b)
+            n_p, n_l, n_s_ = bA[:, 0], bA[:, 1], bA[:, 2]
+            s_tot = bA[:, 3] + bA[:, 4] + bA[:, 5]
+            n_tot = n_p + n_l + n_s_
 
-
-def _renumber(tiles: list[Tile], root_node: list) -> None:
-    """Assign final tile ids by geometry, (min_lat, min_lon, slot) order.
-
-    Makes ids independent of BFS/refinement timing, so the engine and the
-    element-at-a-time oracle number tiles identically."""
-    order = sorted(range(len(tiles)), key=lambda i: (tiles[i].min_lat, tiles[i].min_lon, tiles[i].tile_id))
-    remap = {tiles[i].tile_id: new for new, i in enumerate(order)}
-    for t in tiles:
-        t.tile_id = remap[t.tile_id]
-    tiles.sort(key=lambda t: t.tile_id)
-
-    stack = [root_node]
-    while stack:
-        n = stack.pop()
-        if n[0] == "leaf":
-            n[1] = remap[n[1]]
-        elif n[0] == "split":
-            stack.append(n[3])
-            stack.append(n[4])
-
-
-def _process(region, parent_id, cells, aggs, g, node, shift, level, tiles, next_queue, refits):
-    """Decide accept/halve/overflow for one area (MapSplitter.addAreasToList:131-200)."""
-    if len(cells) == 0:
-        node[:] = ["empty"]
-        return
-    tot = aggs.sum(axis=0)
-    n_p, n_l, n_s, s_p, s_l, s_s = (int(v) for v in tot)
-    n_total = n_p + n_l + n_s
-    if n_total == 0:
-        node[:] = ["empty"]
-        return
-
-    must_split = (
-        n_l > MAX_NUM_LINES
-        or n_p > MAX_NUM_POINTS
-        or (s_p + s_l + s_s) > MAX_RGN_SIZE
-        or (region.max_dim >> shift) > MAX_DIVISION_SIZE
-    )
-    want_split = False
-    if not must_split and region.max_dim > (MIN_DIMENSION << shift):
-        if (s_p + s_l + s_s) > WANTED_MAX_AREA_SIZE:
-            want_split = True
-
-    can_split = n_total > 1
-
-    if (must_split or want_split) and can_split and region.max_dim > (MIN_DIMENSION << shift):
-        axis = 1 if region.w > region.h else 0  # split wider axis; ties -> lat
-        if axis == 1:
-            mid = region.min_x + region.w // 2
-        else:
-            mid = region.min_y + region.h // 2
-        # boundary must be cell-aligned to split the histogram exactly
-        if mid % (1 << g) != 0:
-            refits.append((region, parent_id, node))
-            return
-        mid_cell = mid >> g
-        col = cells[:, axis]
-        lo_m = col < mid_cell
-        if axis == 1:
-            lo_r = Region(region.min_y, region.min_x, region.max_y, mid)
-            hi_r = Region(region.min_y, mid, region.max_y, region.max_x)
-        else:
-            lo_r = Region(region.min_y, region.min_x, mid, region.max_x)
-            hi_r = Region(mid, region.min_x, region.max_y, region.max_x)
-        lo_node, hi_node = ["empty"], ["empty"]
-        node[:] = ["split", axis, mid, lo_node, hi_node]
-        my_id = parent_id  # intermediate splits don't allocate tile ids
-        next_queue.append((lo_r, my_id, cells[lo_m], aggs[lo_m], g, lo_node))
-        next_queue.append((hi_r, my_id, cells[~lo_m], aggs[~lo_m], g, hi_node))
-        return
-
-    # accept (possibly as overflow stack of tiles with the same bounds —
-    # MapSplitter.addAreasToList:186-195 "split area by contents")
-    n_slots = 1
-    if must_split and can_split:
-        n_slots = max(
-            1,
-            -(-n_p // MAX_NUM_POINTS),
-            -(-n_l // MAX_NUM_LINES),
-            -(-(s_p + s_l + s_s) // MAX_RGN_SIZE),
-        )
-    tid = len(tiles)
-    for s in range(n_slots):
-        tiles.append(
-            Tile(
-                tile_id=tid + s,
-                level=level,
-                min_lat=region.min_y,
-                min_lon=region.min_x,
-                max_lat=region.max_y,
-                max_lon=region.max_x,
-                n_slots=n_slots,
-                n_points=n_p,
-                n_lines=n_l,
-                n_shapes=n_s,
-                size_bytes=s_p + s_l + s_s,
-                parent_id=parent_id,
+            must = (
+                (n_l > MAX_NUM_LINES)
+                | (n_p > MAX_NUM_POINTS)
+                | (s_tot > MAX_RGN_SIZE)
+                | ((max_dim >> shift) > MAX_DIVISION_SIZE)
             )
+            want = (~must) & (max_dim > (MIN_DIMENSION << shift)) & (s_tot > WANTED_MAX_AREA_SIZE)
+            can = n_tot > 1
+            split = (must | want) & can & (max_dim > (MIN_DIMENSION << shift))
+
+            acc = ~split
+            if acc.any():
+                n_slots = np.ones(int(acc.sum()), dtype=np.int64)
+                am = must[acc] & can[acc]
+                if am.any():
+                    ns = np.maximum.reduce(
+                        [
+                            -(-n_p[acc] // MAX_NUM_POINTS),
+                            -(-n_l[acc] // MAX_NUM_LINES),
+                            -(-s_tot[acc] // MAX_RGN_SIZE),
+                            np.ones_like(n_slots),
+                        ]
+                    )
+                    n_slots = np.where(am, ns, 1)
+                for k, ns, p_, l_, sh_, st_ in zip(
+                    bkeys[acc].tolist(),
+                    n_slots.tolist(),
+                    n_p[acc].tolist(),
+                    n_l[acc].tolist(),
+                    n_s_[acc].tolist(),
+                    s_tot[acc].tolist(),
+                ):
+                    raw_tiles.append((s, k, ns, p_, l_, sh_, st_))
+
+            if split.any():
+                sk = bkeys[split]
+                if s - 1 >= 2 * gc:
+                    # children of split blocks at s-1 (from the pyramid)
+                    ck, _ = pyramid[s - 1]
+                    if s % 2 == 1:  # children came from x-halving of (a,b-?) ... parent derive
+                        pk = ((ck >> 32) << 32) | ((ck & 0xFFFFFFFF) >> 1)
+                    else:
+                        pk = (((ck >> 32) >> 1) << 32) | (ck & 0xFFFFFFFF)
+                    child_sel = np.isin(pk, sk)
+                    prev = active.get(s - 1)
+                    newa = ck[child_sel]
+                    active[s - 1] = newa if prev is None else np.unique(np.concatenate([prev, newa]))
+                else:
+                    # cells too coarse to evaluate the children: refine
+                    prev = next_pending.get(s)
+                    next_pending[s] = sk if prev is None else np.unique(np.concatenate([prev, sk]))
+
+        pending = next_pending
+
+    # deterministic numbering: (min_lat, min_lon); overflow slots consecutive
+    def tile_bounds(s, k):
+        a, b = _shape(s)
+        by, bx = k >> 32, k & 0xFFFFFFFF
+        return (mn_y + (by << a), mn_x + (bx << b), mn_y + ((by + 1) << a), mn_x + ((bx + 1) << b))
+
+    raw_tiles.sort(key=lambda t: tile_bounds(t[0], t[1])[:2])
+    tiles: list[Tile] = []
+    levels: dict[int, tuple[list, list, list]] = {}
+    for s, k, ns, p_, l_, sh_, st_ in raw_tiles:
+        y0, x0, y1, x1 = tile_bounds(s, k)
+        base = len(tiles)
+        for j in range(ns):
+            tiles.append(
+                Tile(base + j, level, y0, x0, y1, x1, int(ns), int(p_), int(l_), int(sh_), int(st_), -1)
+            )
+        lv = levels.setdefault(s, ([], [], []))
+        lv[0].append(k)
+        lv[1].append(base)
+        lv[2].append(ns)
+
+    idx_levels = {}
+    for s, (ks, tids, slots) in levels.items():
+        ks = np.asarray(ks, dtype=np.int64)
+        order = np.argsort(ks)
+        idx_levels[s] = (
+            ks[order],
+            np.asarray(tids, dtype=np.int64)[order],
+            np.asarray(slots, dtype=np.int64)[order],
         )
-    node[:] = ["leaf", tid, n_slots]
-
-
-def _freeze(node: list) -> TreeNode:
-    if node[0] == "split":
-        return ("split", node[1], node[2], _freeze(node[3]), _freeze(node[4]))
-    return tuple(node)
+    index = TileIndex(mn_y, mn_x, idx_levels)
+    return SplitResult(tiles, index, max(refine_rounds, 0), cells_fetched)
 
 
 # --------------------------------------------------------------------------
@@ -495,49 +567,18 @@ def _freeze(node: list) -> TreeNode:
 # --------------------------------------------------------------------------
 
 
-def assign_with_tree(tree: TreeNode, ay: np.ndarray, ax: np.ndarray) -> np.ndarray:
-    """Walk the split tree for many points at once.
-
-    Returns base tile id per point (-1 for points falling in empty
-    children — possible only for features outside the level's data).
-    """
-    ay = np.asarray(ay, dtype=np.int64)
-    ax = np.asarray(ax, dtype=np.int64)
-    out = np.full(len(ay), -1, dtype=np.int64)
-    if len(ay) == 0:
-        return out
-
-    stack: list[tuple[TreeNode, np.ndarray]] = [(tree, np.arange(len(ay)))]
-    while stack:
-        node, idx = stack.pop()
-        if len(idx) == 0:
-            continue
-        tag = node[0]
-        if tag == "leaf":
-            out[idx] = node[1]
-        elif tag == "split":
-            _, axis, mid, lo_n, hi_n = node
-            v = ay[idx] if axis == 0 else ax[idx]
-            lo_m = v < mid
-            stack.append((lo_n, idx[lo_m]))
-            stack.append((hi_n, idx[~lo_m]))
-        # "empty" -> stays -1
-    return out
-
-
-def assign_tiles(prepared: DataFrame, tree: TreeNode, resolution: int, level: int) -> DataFrame:
+def assign_tiles(prepared: DataFrame, index: TileIndex, resolution: int, level: int) -> DataFrame:
     """Assign each participating feature to its tile (+ overflow slot).
 
-    Output: (id, level, tile_id, kind_i).  The split tree is shipped in
-    the UDF closure (small — one entry per tile) and applied vectorized
-    per Arrow batch; overflow slots are resolved with a window over the
-    (rare) multi-slot tiles only.
+    Output: (id, level, tile_id, kind_i).  The block index ships in the
+    UDF closure and is applied vectorized per Arrow batch; overflow
+    slots are resolved with a window over the (rare) multi-slot tiles.
     """
     part = prepared.filter(F.col("min_res") <= resolution)
 
     @F.pandas_udf("long")
     def tile_of(ay: pd.Series, ax: pd.Series) -> pd.Series:
-        base = assign_with_tree(tree, ay.to_numpy(np.int64), ax.to_numpy(np.int64))
+        base = index.assign(ay.to_numpy(np.int64), ax.to_numpy(np.int64))
         return pd.Series(base)
 
     assigned = part.select(
@@ -549,35 +590,29 @@ def assign_tiles(prepared: DataFrame, tree: TreeNode, resolution: int, level: in
     # overflow slot: round-robin per (tile, kind) ordered by id —
     # distLinesIntoNewAreas-style spill (MapArea.java:345-381).
     slots = {}
-    for node_tid, n_slots in _leaf_slots(tree):
-        if n_slots > 1:
-            slots[node_tid] = n_slots
+    for s, (_k, tids, ns) in index.levels.items():
+        for t, n in zip(tids.tolist(), ns.tolist()):
+            if n > 1:
+                slots[t] = n
     if slots:
         from pyspark.sql import Window
 
         slot_map = F.create_map(*[F.lit(v) for kv in slots.items() for v in kv])
         w = Window.partitionBy("base_tile", "kind_i").orderBy("id")
-        assigned = assigned.withColumn("_ns", slot_map[F.col("base_tile")]).withColumn(
-            "tile_id",
-            F.when(
-                F.col("_ns").isNotNull(),
-                F.col("base_tile") + (F.row_number().over(w) - 1) % F.col("_ns"),
-            ).otherwise(F.col("base_tile")),
-        ).drop("_ns")
+        assigned = (
+            assigned.withColumn("_ns", slot_map[F.col("base_tile")])
+            .withColumn(
+                "tile_id",
+                F.when(
+                    F.col("_ns").isNotNull(),
+                    F.col("base_tile") + (F.row_number().over(w) - 1) % F.col("_ns"),
+                ).otherwise(F.col("base_tile")),
+            )
+            .drop("_ns")
+        )
     else:
         assigned = assigned.withColumn("tile_id", F.col("base_tile"))
     return assigned.select("id", "level", "tile_id", "kind_i")
-
-
-def _leaf_slots(tree: TreeNode):
-    stack = [tree]
-    while stack:
-        n = stack.pop()
-        if n[0] == "leaf":
-            yield n[1], n[2]
-        elif n[0] == "split":
-            stack.append(n[3])
-            stack.append(n[4])
 
 
 def tiles_to_df(spark: SparkSession, tiles: list[Tile]) -> DataFrame:

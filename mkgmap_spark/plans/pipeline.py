@@ -54,7 +54,7 @@ def build_tiles(
         provider = tiling.SparkHistogramProvider(lvl_df)
         result = tiling.split_level(provider, shift, level=level)
         tiles_df = tiling.tiles_to_df(spark, result.tiles)
-        members_df = tiling.assign_tiles(prepared, result.tree, resolution, level)
+        members_df = tiling.assign_tiles(prepared, result.index, resolution, level)
         all_tiles = tiles_df if all_tiles is None else all_tiles.unionByName(tiles_df)
         all_members = members_df if all_members is None else all_members.unionByName(members_df)
         stats.append(

@@ -1,0 +1,518 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 against the
+driver-provided testdata tables (TPC-H-ish star schema + documents +
+embeddings).  Spatial inputs are synthesized *deterministically inside
+the query* from integer keys (same arithmetic in Spark and in the SQL
+oracle), so both sides see identical geometry without external data.
+
+Numeric discipline for oracle parity:
+- geometry is exact int64 arithmetic (map units, squared distances);
+- money/value sums go through cents (``cast(round(x*100) as bigint)``)
+  — float summation order would otherwise make hashes diverge;
+- embeddings are quantized to int (``round(x*10000)``) before dot
+  products, making similarity ranking exactly reproducible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.cells import CELL_OFFSET, CELL_SPAN
+
+# deterministic key->coordinate scatter (Knuth multiplicative constants)
+C_LAT = 2654435761
+C_LON = 2246822519
+LAT_MOD = 1 << 23  # -> lat in [-2^22, 2^22)
+LON_MOD = 1 << 24  # -> lon in [-2^23, 2^23)
+LAT_OFF = 1 << 22
+LON_OFF = 1 << 23
+
+
+def lat_col(key) -> F.Column:
+    return F.pmod(F.col(key).cast("long") * C_LAT, F.lit(LAT_MOD)) - LAT_OFF
+
+
+def lon_col(key) -> F.Column:
+    return F.pmod(F.col(key).cast("long") * C_LON, F.lit(LON_MOD)) - LON_OFF
+
+
+def lat_sql(key: str) -> str:
+    return f"(({key} * {C_LAT}) % {LAT_MOD} - {LAT_OFF})"
+
+
+def lon_sql(key: str) -> str:
+    return f"(({key} * {C_LON}) % {LON_MOD} - {LON_OFF})"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cell_sql(lat: str, lon: str, g: int) -> str:
+    size = 1 << g
+    return (
+        f"((CAST(floor(({lat}) / {size}.0) AS BIGINT) + {CELL_OFFSET}) * {CELL_SPAN}"
+        f" + CAST(floor(({lon}) / {size}.0) AS BIGINT) + {CELL_OFFSET})"
+    )
+
+
+# --------------------------------------------------------------------------
+# q: cell indexing (functions/cells.py — BoundaryGrid raster semantics)
+# --------------------------------------------------------------------------
+
+
+def q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = 16
+    cust = _read(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("key"),
+        lat_col("c_custkey").alias("lat"),
+        lon_col("c_custkey").alias("lon"),
+    )
+    cy = F.shiftright(F.col("lat"), g)
+    cx = F.shiftright(F.col("lon"), g)
+    cell = (cy + CELL_OFFSET) * CELL_SPAN + cx + CELL_OFFSET
+    return (
+        pts.groupBy(cell.alias("cell_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("lat").alias("min_lat"),
+            F.max("lat").alias("max_lat"),
+        )
+    )
+
+
+Q_CELL_INDEX_SQL = f"""
+SELECT {cell_sql(lat_sql('c_custkey'), lon_sql('c_custkey'), 16)} AS cell_id,
+       COUNT(*) AS n_points,
+       MIN({lat_sql('c_custkey')}) AS min_lat,
+       MAX({lat_sql('c_custkey')}) AS max_lat
+FROM customer
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q: tile histogram over lineitem (the tiling core's first aggregation)
+# --------------------------------------------------------------------------
+
+
+def q_tile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = 18
+    li = _read(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey").cast("long") * 8 + F.col("l_linenumber").cast("long")).alias("key")
+    pts = li.select(
+        key,
+        F.pmod((F.col("l_orderkey").cast("long") * 8 + F.col("l_linenumber")) * C_LAT, F.lit(LAT_MOD)).alias("_a"),
+        F.pmod((F.col("l_orderkey").cast("long") * 8 + F.col("l_linenumber")) * C_LON, F.lit(LON_MOD)).alias("_b"),
+    ).select(
+        "key",
+        (F.col("_a") - LAT_OFF).alias("lat"),
+        (F.col("_b") - LON_OFF).alias("lon"),
+    )
+    cy = F.shiftright(F.col("lat"), g)
+    cx = F.shiftright(F.col("lon"), g)
+    cell = (cy + CELL_OFFSET) * CELL_SPAN + cx + CELL_OFFSET
+    return pts.groupBy(cell.alias("cell_id")).agg(F.count(F.lit(1)).alias("n"))
+
+
+Q_TILE_HISTOGRAM_SQL = f"""
+WITH pts AS (
+  SELECT {lat_sql('(l_orderkey * 8 + l_linenumber)')} AS lat,
+         {lon_sql('(l_orderkey * 8 + l_linenumber)')} AS lon
+  FROM lineitem
+)
+SELECT {cell_sql('lat', 'lon', 18)} AS cell_id, COUNT(*) AS n
+FROM pts GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q: point-in-rectangle spatial join (LocationHook PIP join, rect case)
+# --------------------------------------------------------------------------
+
+RECT_HY = 200_000
+RECT_HX = 300_000
+
+
+def q_pip_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        lat_col("c_custkey").alias("lat"),
+        lon_col("c_custkey").alias("lon"),
+    )
+    nat = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"),
+        F.col("n_name"),
+        (lat_col("n_nationkey")).alias("cy"),
+        (lon_col("n_nationkey")).alias("cx"),
+    )
+    joined = cust.join(
+        F.broadcast(nat),
+        (F.col("lat") >= F.col("cy") - RECT_HY)
+        & (F.col("lat") < F.col("cy") + RECT_HY)
+        & (F.col("lon") >= F.col("cx") - RECT_HX)
+        & (F.col("lon") < F.col("cx") + RECT_HX),
+        "inner",
+    )
+    return joined.groupBy("n_nationkey", "n_name").agg(
+        F.count(F.lit(1)).alias("n_inside"),
+        F.min("c_custkey").alias("min_custkey"),
+    )
+
+
+Q_PIP_RECT_JOIN_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey, {lat_sql('c_custkey')} AS lat, {lon_sql('c_custkey')} AS lon FROM customer
+), rects AS (
+  SELECT n_nationkey, n_name,
+         {lat_sql('n_nationkey')} AS cy, {lon_sql('n_nationkey')} AS cx FROM nation
+)
+SELECT n_nationkey, n_name, COUNT(*) AS n_inside, MIN(c_custkey) AS min_custkey
+FROM pts JOIN rects
+  ON lat >= cy - {RECT_HY} AND lat < cy + {RECT_HY}
+ AND lon >= cx - {RECT_HX} AND lon < cx + {RECT_HX}
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q: kNN join (HousenumberGenerator / KdTree semantics)
+# --------------------------------------------------------------------------
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import knn_join_broadcast
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        lat_col("c_custkey").alias("ay"),
+        lon_col("c_custkey").alias("ax"),
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("rid"),
+        lat_col("s_suppkey").alias("ry"),
+        lon_col("s_suppkey").alias("rx"),
+    )
+    out = knn_join_broadcast(cust, supp, k=3)
+    return out.select(
+        F.col("id").alias("c_custkey"),
+        F.col("rid").alias("s_suppkey"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("dist2"),
+    )
+
+
+Q_KNN_SQL = f"""
+WITH c AS (
+  SELECT c_custkey, {lat_sql('c_custkey')} AS ay, {lon_sql('c_custkey')} AS ax FROM customer
+), s AS (
+  SELECT s_suppkey, {lat_sql('s_suppkey')} AS ry, {lon_sql('s_suppkey')} AS rx FROM supplier
+), d AS (
+  SELECT c_custkey, s_suppkey,
+         (ay - ry) * (ay - ry) + (ax - rx) * (ax - rx) AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY (ay - ry) * (ay - ry) + (ax - rx) * (ax - rx), s_suppkey) AS rank
+  FROM c CROSS JOIN s
+)
+SELECT c_custkey, s_suppkey, CAST(rank AS INT) AS rank, dist2 FROM d WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q: orientation / shoelace semantics (Way.clockwise, exact ints)
+# --------------------------------------------------------------------------
+
+
+def q_triangle_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey").cast("long")
+    y1 = F.pmod(k * C_LAT, F.lit(LAT_MOD)) - LAT_OFF
+    x1 = F.pmod(k * C_LON, F.lit(LON_MOD)) - LON_OFF
+    y2 = F.pmod((k + 7) * C_LAT, F.lit(LAT_MOD)) - LAT_OFF
+    x2 = F.pmod((k + 7) * C_LON, F.lit(LON_MOD)) - LON_OFF
+    y3 = F.pmod((k + 13) * C_LAT, F.lit(LAT_MOD)) - LAT_OFF
+    x3 = F.pmod((k + 13) * C_LON, F.lit(LON_MOD)) - LON_OFF
+    area2 = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
+    return part.select(
+        F.col("p_partkey"),
+        area2.alias("area2"),
+        (area2 > 0).alias("is_ccw"),
+    )
+
+
+Q_TRIANGLE_SQL = f"""
+WITH t AS (
+  SELECT p_partkey,
+         {lat_sql('p_partkey')} AS y1, {lon_sql('p_partkey')} AS x1,
+         {lat_sql('(p_partkey + 7)')} AS y2, {lon_sql('(p_partkey + 7)')} AS x2,
+         {lat_sql('(p_partkey + 13)')} AS y3, {lon_sql('(p_partkey + 13)')} AS x3
+  FROM part
+)
+SELECT p_partkey,
+       (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1) AS area2,
+       ((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)) > 0 AS is_ccw
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# q: exact dedup on documents (training-data op)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    return (
+        docs.groupBy(fp.alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(COALESCE(text, '')) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q: token counting + quality proxies (text analysis ops)
+# --------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    trimmed = F.trim(t)
+    n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, " "))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length(t).cast("long").alias("n_chars_obs"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+
+
+Q_TOKEN_STATS_SQL = """
+SELECT doc_id, lang,
+       CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars_obs,
+       CAST(CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
+                 ELSE len(string_split(trim(COALESCE(text, '')), ' ')) END AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0)).cast("long")).alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+Q_LANG_PROFILE_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       SUM(CAST(COALESCE(n_chars, 0) AS BIGINT)) AS sum_chars,
+       MIN(doc_id) AS min_doc_id
+FROM documents GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q: aggregation discipline (per-area size accounting analogue — TPC-H Q1
+#    shape; sums in exact cents so hashes are reproducible)
+# --------------------------------------------------------------------------
+
+
+def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(cents).alias("sum_price_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q_LINEITEM_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty,
+       SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q: window functions over events (order-sensitive per-key sequences —
+#    the engine's analogue of per-feature point-order operations)
+# --------------------------------------------------------------------------
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+Q_EVENTS_WINDOW_SQL = """
+SELECT event_id, user_id, event_type,
+       LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events
+"""
+
+
+def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    val_cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+        F.sum(F.when(F.col("event_type") == "purchase", val_cents).otherwise(0)).alias(
+            "purchase_cents"
+        ),
+        F.max(val_cents).alias("max_cents"),
+    )
+
+
+Q_EVENTS_USER_STATS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+       SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS purchase_cents,
+       MAX(CAST(round(value * 100, 0) AS BIGINT)) AS max_cents
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q: similarity search — top-k inner product over quantized embeddings
+# --------------------------------------------------------------------------
+
+N_QUERY_VECS = 10
+EMB_SCALE = 10_000
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(f"transform(embedding, x -> cast(round(x * {EMB_SCALE}, 0) as bigint))").alias("qv"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qe")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    dot = F.expr("aggregate(zip_with(qe, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.col("vec_id"))
+    return (
+        pairs.withColumn("dot", dot)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank", "dot")
+    )
+
+
+Q_EMBEDDING_TOPK_SQL = f"""
+WITH qe AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(round(x * {EMB_SCALE}, 0) AS BIGINT)) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+), ne AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * {EMB_SCALE}, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), d AS (
+  SELECT qid, vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * qv[i])) AS BIGINT) AS dot
+  FROM qe CROSS JOIN ne WHERE vec_id <> qid
+), r AS (
+  SELECT qid, neighbor_id, dot,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, neighbor_id) AS INT) AS rank
+  FROM d
+)
+SELECT qid, neighbor_id, rank, dot FROM r WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q: flagship tile assignment (no SQL oracle — quadtree driver loop;
+#    correctness is covered by the pytest differential oracle)
+# --------------------------------------------------------------------------
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import tiling
+
+    li = _read(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey").cast("long") * 8 + F.col("l_linenumber").cast("long"))
+    pts = li.select(
+        key.alias("id"),
+        (F.pmod(key * C_LAT, F.lit(LAT_MOD)) - LAT_OFF).cast("int").alias("ay"),
+        (F.pmod(key * C_LON, F.lit(LON_MOD)) - LON_OFF).cast("int").alias("ax"),
+    ).withColumn("kind_i", F.lit(0)).withColumn("size_bytes", F.lit(9).cast("long")).withColumn(
+        "min_res", F.lit(24)
+    )
+    provider = tiling.SparkHistogramProvider(pts)
+    res = tiling.split_level(provider, shift=0, level=0)
+    return tiling.assign_tiles(pts, res.index, resolution=24, level=0).select(
+        "id", "tile_id"
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cell_index": q_cell_index,
+    "tile_histogram": q_tile_histogram,
+    "pip_rect_join": q_pip_rect_join,
+    "knn_join": q_knn,
+    "triangle_orientation": q_triangle_orientation,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "lang_profile": q_lang_profile,
+    "lineitem_agg": q_lineitem_agg,
+    "events_window": q_events_window,
+    "events_user_stats": q_events_user_stats,
+    "embedding_topk": q_embedding_topk,
+    "tile_assign": q_tile_assign,
+}
+
+ORACLES: dict[str, str] = {
+    "cell_index": Q_CELL_INDEX_SQL,
+    "tile_histogram": Q_TILE_HISTOGRAM_SQL,
+    "pip_rect_join": Q_PIP_RECT_JOIN_SQL,
+    "knn_join": Q_KNN_SQL,
+    "triangle_orientation": Q_TRIANGLE_SQL,
+    "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "token_stats": Q_TOKEN_STATS_SQL,
+    "lang_profile": Q_LANG_PROFILE_SQL,
+    "lineitem_agg": Q_LINEITEM_AGG_SQL,
+    "events_window": Q_EVENTS_WINDOW_SQL,
+    "events_user_stats": Q_EVENTS_USER_STATS_SQL,
+    "embedding_topk": Q_EMBEDDING_TOPK_SQL,
+    # tile_assign: intentionally no SQL oracle (quadtree driver loop);
+    # row-for-row correctness is enforced by tests/test_tiling.py
+}

@@ -58,9 +58,9 @@ def test_split_engine_vs_oracle_inmemory(spark, documents_df, resolution):
     ]
     assert got == want
 
-    # membership via the broadcast tree (base tile) must match oracle's
+    # membership via the block index (base tile) must match oracle's
     # base tile; overflow slot check is covered in the Spark e2e test
-    base = tiling.assign_with_tree(result.tree, pdf.ay.to_numpy(), pdf.ax.to_numpy())
+    base = result.index.assign(pdf.ay.to_numpy(), pdf.ax.to_numpy())
     slots = {t.tile_id: t.n_slots for t in result.tiles}
     for fid, b in zip(pdf.id.to_numpy(), base):
         ob = o_members[int(fid)]
