@@ -33,7 +33,7 @@ def main() -> None:
         shuffle_partitions=int(cpus) if cpus.isdigit() else None,
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
-            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         },
     )
 

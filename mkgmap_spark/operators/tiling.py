@@ -83,7 +83,7 @@ POINT_KIND, LINE_KIND, SHAPE_KIND = 0, 1, 2
 
 # histogram fetch granularity: cover ~2^FETCH_AXIS_BITS further split
 # levels per axis per refinement round
-FETCH_AXIS_BITS = 7
+FETCH_AXIS_BITS = 4
 
 AGG_COLS = ["n_p", "n_l", "n_s", "s_p", "s_l", "s_s"]
 
@@ -597,44 +597,42 @@ def assign_tiles(prepared: DataFrame, index: TileIndex, resolution: int, level: 
     if slots:
         from pyspark.sql import Window
 
+        # only rows landing in multi-slot (overflow) tiles need the
+        # rank window — route the rest around the shuffle entirely
         slot_map = F.create_map(*[F.lit(v) for kv in slots.items() for v in kv])
-        w = Window.partitionBy("base_tile", "kind_i").orderBy("id")
-        assigned = (
-            assigned.withColumn("_ns", slot_map[F.col("base_tile")])
-            .withColumn(
-                "tile_id",
-                F.when(
-                    F.col("_ns").isNotNull(),
-                    F.col("base_tile") + (F.row_number().over(w) - 1) % F.col("_ns"),
-                ).otherwise(F.col("base_tile")),
-            )
-            .drop("_ns")
+        # persist before forking the DAG — both branches reuse the
+        # decode+assign work instead of recomputing it
+        assigned = assigned.withColumn("_ns", slot_map[F.col("base_tile")]).persist()
+        plain = assigned.filter(F.col("_ns").isNull()).withColumn(
+            "tile_id", F.col("base_tile")
         )
+        w = Window.partitionBy("base_tile", "kind_i").orderBy("id")
+        spilled = assigned.filter(F.col("_ns").isNotNull()).withColumn(
+            "tile_id", F.col("base_tile") + (F.row_number().over(w) - 1) % F.col("_ns")
+        )
+        assigned = plain.unionByName(spilled).drop("_ns")
     else:
         assigned = assigned.withColumn("tile_id", F.col("base_tile"))
     return assigned.select("id", "level", "tile_id", "kind_i")
 
 
 def tiles_to_df(spark: SparkSession, tiles: list[Tile]) -> DataFrame:
-    rows = [
-        (
-            t.tile_id,
-            t.level,
-            t.min_lat,
-            t.min_lon,
-            t.max_lat,
-            t.max_lon,
-            t.n_slots,
-            t.n_points,
-            t.n_lines,
-            t.n_shapes,
-            t.size_bytes,
-            t.parent_id,
-        )
-        for t in tiles
-    ]
-    return spark.createDataFrame(
-        rows,
-        "tile_id long, level int, min_lat int, min_lon int, max_lat int, max_lon int, "
-        "n_slots int, n_points long, n_lines long, n_shapes long, size_bytes long, parent_id long",
+    # ship via Arrow (a python list of tuples costs one py4j round per
+    # chunk and serializes row-at-a-time; 300k+ tiles made this seconds)
+    pdf = pd.DataFrame(
+        {
+            "tile_id": np.array([t.tile_id for t in tiles], dtype=np.int64),
+            "level": np.array([t.level for t in tiles], dtype=np.int32),
+            "min_lat": np.array([t.min_lat for t in tiles], dtype=np.int32),
+            "min_lon": np.array([t.min_lon for t in tiles], dtype=np.int32),
+            "max_lat": np.array([t.max_lat for t in tiles], dtype=np.int32),
+            "max_lon": np.array([t.max_lon for t in tiles], dtype=np.int32),
+            "n_slots": np.array([t.n_slots for t in tiles], dtype=np.int32),
+            "n_points": np.array([t.n_points for t in tiles], dtype=np.int64),
+            "n_lines": np.array([t.n_lines for t in tiles], dtype=np.int64),
+            "n_shapes": np.array([t.n_shapes for t in tiles], dtype=np.int64),
+            "size_bytes": np.array([t.size_bytes for t in tiles], dtype=np.int64),
+            "parent_id": np.array([t.parent_id for t in tiles], dtype=np.int64),
+        }
     )
+    return spark.createDataFrame(pdf)
