@@ -1,0 +1,183 @@
+"""Document deduplication operators (training-data pipeline ops).
+
+Exact dedup is a hash groupBy.  Near-dup detection:
+
+- MinHash + LSH: shingle -> 64 minhashes -> b bands of r rows ->
+  band-bucket join -> candidate pairs -> exact Jaccard verify.
+  Everything before the verify is JVM-side (xxhash64 on shingles via
+  F.transform + F.aggregate for the per-permutation min).
+- SimHash: 64-bit fingerprint from token hash bit-votes; near-dups =
+  Hamming distance <= k via bucketed bands of the fingerprint.
+- n-gram Jaccard: exact verification kernel (also used standalone for
+  small candidate sets).
+
+All operators take documents(doc_id, text) and are deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# odd multipliers for the minhash permutation family (splitmix-style)
+_MH_A = [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93]
+
+
+def _shingles_col(text_col: str, k: int) -> F.Column:
+    """k-word shingles as strings, JVM-side."""
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(split(trim(coalesce({text_col}, '')), '\\\\s+')) - {k} + 1),"
+            f" i -> concat_ws(' ', slice(split(trim(coalesce({text_col}, '')), '\\\\s+'), i, {k})))"
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents; keeper = min id.
+    (hash-groupBy; mkgmap analogue: coord dedup maps, MapBuilder.java:822)"""
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        docs.groupBy(fp.alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.collect_list(id_col).alias("member_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    n_hashes: int = 64,
+) -> DataFrame:
+    """doc -> array of n_hashes int64 minhashes, all JVM-side.
+
+    Permutation i reuses xxhash64(shingle, seed=i) — one hash family,
+    n seeds; the per-seed min is an F.aggregate fold (no UDF).
+    """
+    sh = _shingles_col(text_col, shingle_k)
+    d = docs.select(F.col(id_col).alias("doc_id"), sh.alias("_sh"))
+    sig = F.array(
+        *[
+            F.expr(
+                f"aggregate(transform(_sh, s -> xxhash64(s, {i})), cast(9223372036854775807 as bigint),"
+                f" (acc, v) -> least(acc, v))"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return d.select("doc_id", sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band-bucket join -> distinct candidate pairs (doc_a < doc_b)."""
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> xxhash64(concat_ws(',', slice(signature, b * {rows_per_band} + 1, {rows_per_band})), b))"
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs (JVM set ops)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.array_distinct(_shingles_col(text_col, shingle_k)).alias("sh")
+    )
+    j = (
+        candidates.join(sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> verify."""
+    sig = minhash_signatures(docs, text_col, id_col, shingle_k, n_hashes)
+    cands = minhash_lsh_candidates(sig, bands, n_hashes // bands)
+    return jaccard_verify(cands, docs, threshold, text_col, id_col, shingle_k)
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint per doc, fully JVM-side.
+
+    Token hash bit-votes: bit j of the fingerprint is 1 iff more token
+    hashes have bit j set than not.
+    """
+    votes = [
+        F.expr(
+            f"aggregate(transform(split(trim(coalesce({text_col}, '')), '\\\\s+'),"
+            f" t -> cast(shiftright(xxhash64(t), {j}) & 1 as int) * 2 - 1), 0, (acc, v) -> acc + v)"
+        )
+        for j in range(64)
+    ]
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        bit = -(1 << 63) if j == 63 else (1 << j)
+        fp = fp + F.when(votes[j] > 0, F.lit(bit).cast("long")).otherwise(F.lit(0).cast("long"))
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+
+
+def simhash_near_dups(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance via 4-band bucketing
+    (a pair within distance 3 shares at least one of 4 16-bit bands).
+    Output: (doc_a, doc_b, hamming)."""
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF).cast("long")).alias(f"b{b}") for b in range(4)])
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,155 @@
+"""Per-feature geometry filters (the reference's per-level filter chain).
+
+Reference chain (build/MapBuilder.java:1177-1188 for lines, :1236-1251
+for shapes): Round -> Size -> DouglasPeucker -> LineSplit ->
+RemoveEmpty -> RemoveObsolete...  Each filter is order-sensitive within
+a feature's point array; across features it's embarrassingly parallel
+— exactly one vectorized Arrow batch pass, no window functions needed
+because the arrays stay packed per row.
+
+Implemented as composable DataFrame -> DataFrame operators over
+(lats:array<int>, lons:array<int>) columns:
+
+- round_coords(shift)        RoundCoordsFilter.java:24-46
+- remove_obsolete_points     RemoveObsoletePointsFilter.java:30 (drop
+                             consecutive duplicates + collinear points)
+- douglas_peucker(max_err)   DouglasPeuckerFilter.java:52-135
+- split_long_lines(max_pts)  LineSplitterFilter.java:42-118 (>250 pts
+                             -> pieces, each >=50% target)
+- size_filter(min_size)      SizeFilter.java:25 (drop tiny bbox)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.geometry import douglas_peucker_mask
+
+MAX_POINTS_IN_LINE = 250  # LineSplitterFilter.MAX_POINTS_IN_LINE
+
+
+def round_coords(df: DataFrame, shift: int) -> DataFrame:
+    """Quantize to the level grid with round-half-up on the shifted
+    value (RoundCoordsFilter: ``(v >> (shift-1)) + 1 >> 1 << shift``
+    — same as Area.roundPof2).  Pure JVM bit arithmetic."""
+    if shift <= 0:
+        return df
+
+    def rc(col):
+        return F.shiftleft(F.shiftright(F.shiftright(F.col(col).cast("long"), shift - 1) + 1, 1), shift).cast("int")
+
+    return df.withColumn("lats", F.expr(
+        f"transform(lats, v -> cast(shiftleft(shiftright(shiftright(cast(v as bigint), {shift - 1}) + 1, 1), {shift}) as int))"
+    )).withColumn("lons", F.expr(
+        f"transform(lons, v -> cast(shiftleft(shiftright(shiftright(cast(v as bigint), {shift - 1}) + 1, 1), {shift}) as int))"
+    ))
+
+
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("lats", T.ArrayType(T.IntegerType())),
+        T.StructField("lons", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def remove_obsolete_points(df: DataFrame) -> DataFrame:
+    """Drop consecutive duplicates and exactly-collinear interior points
+    (RemoveObsoletePointsFilter semantics on the quantized grid)."""
+
+    @F.pandas_udf(_PAIR_SCHEMA)
+    def kernel(lats: pd.Series, lons: pd.Series) -> pd.DataFrame:
+        out_la, out_lo = [], []
+        for la, lo in zip(lats, lons):
+            y = np.asarray(la, dtype=np.int64)
+            x = np.asarray(lo, dtype=np.int64)
+            n = len(y)
+            if n <= 2:
+                out_la.append(y.astype(np.int32))
+                out_lo.append(x.astype(np.int32))
+                continue
+            dup = np.zeros(n, dtype=bool)
+            dup[1:] = (y[1:] == y[:-1]) & (x[1:] == x[:-1])
+            y, x = y[~dup], x[~dup]
+            n = len(y)
+            if n > 2:
+                cross = (x[1:-1] - x[:-2]) * (y[2:] - y[:-2]) - (y[1:-1] - y[:-2]) * (x[2:] - x[:-2])
+                between = (
+                    (np.minimum(y[:-2], y[2:]) <= y[1:-1])
+                    & (y[1:-1] <= np.maximum(y[:-2], y[2:]))
+                    & (np.minimum(x[:-2], x[2:]) <= x[1:-1])
+                    & (x[1:-1] <= np.maximum(x[:-2], x[2:]))
+                )
+                keep = np.ones(n, dtype=bool)
+                keep[1:-1] = ~((cross == 0) & between)
+                y, x = y[keep], x[keep]
+            out_la.append(y.astype(np.int32))
+            out_lo.append(x.astype(np.int32))
+        return pd.DataFrame({"lats": out_la, "lons": out_lo})
+
+    return df.withColumn("_g", kernel("lats", "lons")).withColumn("lats", F.col("_g.lats")).withColumn(
+        "lons", F.col("_g.lons")
+    ).drop("_g")
+
+
+def douglas_peucker(df: DataFrame, max_error: float) -> DataFrame:
+    """DP simplification per feature, packed-array Arrow kernel."""
+
+    @F.pandas_udf(_PAIR_SCHEMA)
+    def kernel(lats: pd.Series, lons: pd.Series) -> pd.DataFrame:
+        out_la, out_lo = [], []
+        for la, lo in zip(lats, lons):
+            y = np.asarray(la, dtype=np.float64)
+            x = np.asarray(lo, dtype=np.float64)
+            if len(y) <= 2:
+                out_la.append(np.asarray(la, dtype=np.int32))
+                out_lo.append(np.asarray(lo, dtype=np.int32))
+                continue
+            keep = douglas_peucker_mask(y, x, max_error)
+            out_la.append(np.asarray(la, dtype=np.int32)[keep])
+            out_lo.append(np.asarray(lo, dtype=np.int32)[keep])
+        return pd.DataFrame({"lats": out_la, "lons": out_lo})
+
+    return df.withColumn("_g", kernel("lats", "lons")).withColumn("lats", F.col("_g.lats")).withColumn(
+        "lons", F.col("_g.lons")
+    ).drop("_g")
+
+
+def split_long_lines(df: DataFrame, max_points: int = MAX_POINTS_IN_LINE) -> DataFrame:
+    """Split lines with > max_points points into balanced pieces
+    (LineSplitterFilter.java:80: pieces of >= half the target so no
+    fragment is tiny).  JVM-side sequence+slice+posexplode; adds a
+    ``part`` column (0-based)."""
+    n = F.size("lats")
+    # number of pieces and balanced size (ceil division)
+    pieces = F.ceil((n - F.lit(1)) / F.lit(max_points - 1)).cast("int")
+    pieces = F.when(pieces < 1, F.lit(1)).otherwise(pieces)
+    df = df.withColumn("_pieces", pieces)
+    # piece i covers [i*step, min(n, i*step + step + 1)) with step =
+    # ceil((n-1)/pieces) segments; consecutive pieces share a point
+    step = F.ceil((n - F.lit(1)) / F.col("_pieces")).cast("int")
+    df = df.withColumn("_step", step)
+    exploded = df.select(
+        *[c for c in df.columns if c not in ("lats", "lons", "_pieces", "_step")],
+        F.posexplode(F.expr("sequence(0, _pieces - 1)")).alias("part", "_i"),
+        F.expr("transform(sequence(0, _pieces - 1), i -> slice(lats, i * _step + 1, _step + 1))").alias("_las"),
+        F.expr("transform(sequence(0, _pieces - 1), i -> slice(lons, i * _step + 1, _step + 1))").alias("_los"),
+    )
+    return (
+        exploded.withColumn("lats", F.expr("_las[part]"))
+        .withColumn("lons", F.expr("_los[part]"))
+        .filter(F.size("lats") >= 2)
+        .drop("_las", "_los", "_i")
+    )
+
+
+def size_filter(df: DataFrame, min_size: int) -> DataFrame:
+    """Drop features whose bbox is below min_size in both dimensions
+    (SizeFilter semantics), keeping single points intact."""
+    h = F.array_max("lats") - F.array_min("lats")
+    w = F.array_max("lons") - F.array_min("lons")
+    return df.filter((F.size("lats") <= 1) | (h >= min_size) | (w >= min_size))

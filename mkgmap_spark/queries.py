@@ -484,7 +484,274 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q: kNN via distributed cell-ring expansion (same oracle as knn_join —
+#    validates the scale-path operator against plain SQL)
+# --------------------------------------------------------------------------
+
+
+def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import knn_join_cells
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        lat_col("c_custkey").alias("ay"),
+        lon_col("c_custkey").alias("ax"),
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("rid"),
+        lat_col("s_suppkey").alias("ry"),
+        lon_col("s_suppkey").alias("rx"),
+    )
+    out = knn_join_cells(cust, supp, k=3, gshift=21)
+    return out.select(
+        F.col("id").alias("c_custkey"),
+        F.col("rid").alias("s_suppkey"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("dist2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q: point-in-polygon with holes (winding kernel vs SQL rect logic)
+# --------------------------------------------------------------------------
+
+DONUT_HY = 600_000
+DONUT_HX = 900_000
+HOLE_HY = 200_000
+HOLE_HX = 300_000
+
+
+def q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.pip_join import pip_join_broadcast
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        lat_col("c_custkey").alias("ay"),
+        lon_col("c_custkey").alias("ax"),
+    )
+    regions = _read(spark, sf_dir, "region").select("r_regionkey", "r_name").toPandas()
+    rows = []
+    for r in regions.itertuples():
+        k = int(r.r_regionkey)
+        cy = (k * C_LAT) % LAT_MOD - LAT_OFF
+        cx = (k * C_LON) % LON_MOD - LON_OFF
+        outer = {
+            "lats": [cy - DONUT_HY, cy - DONUT_HY, cy + DONUT_HY, cy + DONUT_HY, cy - DONUT_HY],
+            "lons": [cx - DONUT_HX, cx + DONUT_HX, cx + DONUT_HX, cx - DONUT_HX, cx - DONUT_HX],
+            "is_hole": False,
+        }
+        hole = {
+            "lats": [cy - HOLE_HY, cy - HOLE_HY, cy + HOLE_HY, cy + HOLE_HY, cy - HOLE_HY],
+            "lons": [cx - HOLE_HX, cx + HOLE_HX, cx + HOLE_HX, cx - HOLE_HX, cx - HOLE_HX],
+            "is_hole": True,
+        }
+        rows.append((f"r{k}", 2, r.r_name, f"RP{k}", [outer, hole]))
+    boundaries = spark.createDataFrame(
+        rows,
+        "boundary_id string, admin_level int, name string, postcode string, "
+        "rings array<struct<lats: array<int>, lons: array<int>, is_hole: boolean>>",
+    )
+    out = pip_join_broadcast(cust, boundaries, gshift=20)
+    return out.select(
+        F.col("id").alias("c_custkey"), "boundary_id", F.col("name").alias("r_name")
+    )
+
+
+Q_PIP_POLYGON_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey, {lat_sql('c_custkey')} AS ay, {lon_sql('c_custkey')} AS ax FROM customer
+), dn AS (
+  SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS boundary_id, r_name,
+         {lat_sql('r_regionkey')} AS cy, {lon_sql('r_regionkey')} AS cx
+  FROM region
+)
+SELECT c_custkey, boundary_id, r_name
+FROM pts JOIN dn
+  ON ay > cy - {DONUT_HY} AND ay < cy + {DONUT_HY}
+ AND ax > cx - {DONUT_HX} AND ax < cx + {DONUT_HX}
+ AND NOT (ay > cy - {HOLE_HY} AND ay < cy + {HOLE_HY}
+          AND ax > cx - {HOLE_HX} AND ax < cx + {HOLE_HX})
+"""
+
+
+# --------------------------------------------------------------------------
+# q: segment x segment intersection join (exact integer orientation)
+# --------------------------------------------------------------------------
+
+
+def q_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.segment_join import segment_intersection_join
+
+    def seg_ways(df, key, stretch):
+        k = F.col(key).cast("long")
+        y1 = F.pmod(k * C_LAT, F.lit(LAT_MOD)) - LAT_OFF
+        x1 = F.pmod(k * C_LON, F.lit(LON_MOD)) - LON_OFF
+        y2 = F.pmod((k + stretch) * C_LAT, F.lit(LAT_MOD)) - LAT_OFF
+        x2 = F.pmod((k + stretch) * C_LON, F.lit(LON_MOD)) - LON_OFF
+        return df.select(
+            k.alias("id"),
+            F.array(y1.cast("int"), y2.cast("int")).alias("lats"),
+            F.array(x1.cast("int"), x2.cast("int")).alias("lons"),
+        )
+
+    supp = seg_ways(_read(spark, sf_dir, "supplier"), "s_suppkey", 3)
+    # decorrelate nation keys so no endpoint ever coincides with a
+    # supplier endpoint (coincident endpoints = touch-vs-proper
+    # semantics the SQL oracle doesn't model)
+    nat_src = _read(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") * 7919 + 123).alias("nk"),
+        F.col("n_nationkey"),
+    )
+    nat = seg_ways(nat_src, "nk", 5).join(
+        nat_src.select(F.col("nk").alias("id"), "n_nationkey"), "id"
+    ).select(F.col("n_nationkey").cast("long").alias("id"), "lats", "lons")
+    out = segment_intersection_join(supp, nat, gshift=18, broadcast_right=True)
+    return out.select(
+        F.col("left_id").alias("s_suppkey"), F.col("right_id").alias("n_nationkey")
+    )
+
+
+Q_SEGMENT_JOIN_SQL = f"""
+WITH s AS (
+  SELECT s_suppkey AS id,
+         {lat_sql('s_suppkey')} AS y1, {lon_sql('s_suppkey')} AS x1,
+         {lat_sql('(s_suppkey + 3)')} AS y2, {lon_sql('(s_suppkey + 3)')} AS x2
+  FROM supplier
+), n AS (
+  SELECT n_nationkey AS id,
+         {lat_sql('(n_nationkey * 7919 + 123)')} AS y1, {lon_sql('(n_nationkey * 7919 + 123)')} AS x1,
+         {lat_sql('(n_nationkey * 7919 + 128)')} AS y2, {lon_sql('(n_nationkey * 7919 + 128)')} AS x2
+  FROM nation
+), d AS (
+  SELECT s.id AS s_suppkey, n.id AS n_nationkey,
+         (s.x2 - s.x1) * (n.y1 - s.y1) - (s.y2 - s.y1) * (n.x1 - s.x1) AS d1,
+         (s.x2 - s.x1) * (n.y2 - s.y1) - (s.y2 - s.y1) * (n.x2 - s.x1) AS d2,
+         (n.x2 - n.x1) * (s.y1 - n.y1) - (n.y2 - n.y1) * (s.x1 - n.x1) AS d3,
+         (n.x2 - n.x1) * (s.y2 - n.y1) - (n.y2 - n.y1) * (s.x2 - n.x1) AS d4
+  FROM s CROSS JOIN n
+)
+SELECT s_suppkey, n_nationkey FROM d
+WHERE ((d1 > 0) <> (d2 > 0)) AND ((d3 > 0) <> (d4 > 0))
+  AND d1 <> 0 AND d2 <> 0 AND d3 <> 0 AND d4 <> 0
+"""
+
+
+# --------------------------------------------------------------------------
+# q: text-analysis ops with SQL oracles
+# --------------------------------------------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "pred_lang", F.col("hits").cast("bigint").alias("hits"))
+
+
+def _lang_id_sql() -> str:
+    from .operators.text import STOPWORDS
+
+    hit_exprs = []
+    for lang, ws in STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+        hit_exprs.append(
+            f"len(list_intersect(list_distinct(string_split_regex(lower(trim(COALESCE(text, ''))), '\\s+')), {arr})) AS h_{lang}"
+        )
+    langs = list(STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(f"WHEN h_{lg} = {best} THEN '{lg}'" for lg in langs) + " END"
+    return f"""
+WITH h AS (
+  SELECT doc_id, {', '.join(hit_exprs)} FROM documents
+)
+SELECT doc_id,
+       CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END AS pred_lang,
+       CAST({best} AS BIGINT) AS hits
+FROM h
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_counts
+
+    return token_counts(_read(spark, sf_dir, "documents"))
+
+
+Q_TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
+                 ELSE len(string_split_regex(lower(trim(COALESCE(text, ''))), '\\s+')) END AS BIGINT) AS n_words,
+       GREATEST(
+         CAST(CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
+                   ELSE len(string_split_regex(lower(trim(COALESCE(text, ''))), '\\s+')) END AS BIGINT),
+         CAST(ceil(length(COALESCE(text, '')) / 3.3) AS BIGINT)) AS est_subword_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q: rows-only entries (no SQL equivalent; pytest covers correctness)
+# --------------------------------------------------------------------------
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash, simhash_near_dups
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_dups(simhash(docs), max_hamming=3)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return lsh_topk(emb, q, k=3, dim=dim, n_planes=16, bands=4)
+
+
+def q_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.merge import merge_lines
+
+    # ways derived from orders: consecutive orders of one customer form
+    # touching lines (same synthetic endpoints) -> chains to merge
+    o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    y1 = (F.pmod(F.col("o_custkey").cast("long") * C_LAT, F.lit(LAT_MOD)) - LAT_OFF).cast("int")
+    x1 = (F.pmod(F.col("o_custkey").cast("long") * C_LON, F.lit(LON_MOD)) - LON_OFF).cast("int")
+    y2 = (F.pmod((k + 1) * C_LAT, F.lit(LAT_MOD)) - LAT_OFF).cast("int")
+    x2 = (F.pmod((k + 1) * C_LON, F.lit(LON_MOD)) - LON_OFF).cast("int")
+    lines = o.select(
+        k.alias("id"),
+        F.pmod(F.col("o_custkey"), F.lit(64)).cast("string").alias("grp"),
+        F.array(y1, y2).alias("lats"),
+        F.array(x1, x2).alias("lons"),
+    )
+    return merge_lines(lines, ["grp"]).select("grp", "chain_id", "n_members", "total_points")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "knn_cells": q_knn_cells,
+    "pip_polygon": q_pip_polygon,
+    "segment_join": q_segment_join,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_lsh": q_ann_lsh,
+    "line_merge": q_line_merge,
     "cell_index": q_cell_index,
     "tile_histogram": q_tile_histogram,
     "pip_rect_join": q_pip_rect_join,
@@ -501,6 +768,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "knn_cells": Q_KNN_SQL,
+    "pip_polygon": Q_PIP_POLYGON_SQL,
+    "segment_join": Q_SEGMENT_JOIN_SQL,
+    "lang_id": _lang_id_sql(),
+    "token_counts": Q_TOKEN_COUNTS_SQL,
+    # minhash_pairs / simhash_pairs / ann_lsh / line_merge: rows-only
+    # (xxhash64 / LSH projections / connected components aren't
+    # SQL-reproducible; pytest oracles cover them)
     "cell_index": Q_CELL_INDEX_SQL,
     "tile_histogram": Q_TILE_HISTOGRAM_SQL,
     "pip_rect_join": Q_PIP_RECT_JOIN_SQL,

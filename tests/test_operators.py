@@ -1,0 +1,251 @@
+"""Tests for segment join, merges, simplify filters, dedup, text,
+similarity, raster overlay, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- segments
+def test_segment_intersection_join(spark):
+    from mkgmap_spark.operators.segment_join import segment_intersection_join
+
+    # way 1: horizontal line y=0; way 2: vertical crossing at (0, 5);
+    # way 3: far away
+    left = spark.createDataFrame(
+        [(1, [0, 0], [0, 10])], "id long, lats array<int>, lons array<int>"
+    )
+    right = spark.createDataFrame(
+        [(2, [-5, 5], [5, 5]), (3, [100000, 100001], [100000, 100000])],
+        "id long, lats array<int>, lons array<int>",
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in segment_intersection_join(left, right).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_segment_join_cross_cell(spark):
+    """Segments crossing near a cell boundary must still match (cover
+    cells, not centre cells)."""
+    from mkgmap_spark.operators.segment_join import segment_intersection_join
+
+    b = 1 << 14  # cell size at gshift=14
+    left = spark.createDataFrame(
+        [(1, [b - 5, b - 5], [b - 100, b + 100])], "id long, lats array<int>, lons array<int>"
+    )
+    right = spark.createDataFrame(
+        [(2, [b - 50, b + 50], [b, b])], "id long, lats array<int>, lons array<int>"
+    )
+    got = segment_intersection_join(left, right).count()
+    assert got == 1
+
+
+# ---------------------------------------------------------------- merge
+def test_merge_lines_chains(spark):
+    from mkgmap_spark.operators.merge import merge_lines
+
+    rows = [
+        # chain A: 1-2 share endpoint (10,10); 3 isolated; same key
+        (1, "road", [0, 10], [0, 10], ),
+        (2, "road", [10, 20], [10, 20]),
+        (3, "road", [100, 110], [100, 110]),
+        # different key never merges even if touching
+        (4, "river", [20, 30], [20, 30]),
+    ]
+    df = spark.createDataFrame(rows, "id long, typ string, lats array<int>, lons array<int>")
+    out = merge_lines(df, ["typ"]).collect()
+    chains = {tuple(sorted(r["member_ids"])): r for r in out}
+    assert (1, 2) in chains
+    assert chains[(1, 2)]["total_points"] == 3  # 2+2 minus shared endpoint
+    assert (3,) in chains
+    assert (4,) in chains
+
+
+# ---------------------------------------------------------------- simplify
+def test_round_and_obsolete_and_dp(spark):
+    from mkgmap_spark.operators import simplify
+
+    df = spark.createDataFrame(
+        [(1, [0, 3, 8, 8, 16], [0, 5, 10, 10, 20])],
+        "id long, lats array<int>, lons array<int>",
+    )
+    r = simplify.round_coords(df, 2).collect()[0]
+    assert r["lats"] == [0, 4, 8, 8, 16]
+    assert r["lons"] == [0, 4, 12, 12, 20]
+
+    # obsolete: duplicate collapses; collinear middle point drops
+    df2 = spark.createDataFrame(
+        [(1, [0, 5, 5, 10], [0, 5, 5, 10])], "id long, lats array<int>, lons array<int>"
+    )
+    r2 = simplify.remove_obsolete_points(df2).collect()[0]
+    assert r2["lats"] == [0, 10] and r2["lons"] == [0, 10]
+
+    df3 = spark.createDataFrame(
+        [(1, [0, 1, 0], [0, 50, 100])], "id long, lats array<int>, lons array<int>"
+    )
+    r3 = simplify.douglas_peucker(df3, max_error=2.0).collect()[0]
+    assert r3["lats"] == [0, 0]
+    r3b = simplify.douglas_peucker(df3, max_error=0.5).collect()[0]
+    assert r3b["lats"] == [0, 1, 0]
+
+
+def test_split_long_lines(spark):
+    from mkgmap_spark.operators.simplify import split_long_lines
+
+    n = 600
+    df = spark.createDataFrame(
+        [(1, list(range(n)), list(range(n)))], "id long, lats array<int>, lons array<int>"
+    )
+    parts = split_long_lines(df, max_points=250).orderBy("part").collect()
+    assert len(parts) == 3
+    sizes = [len(p["lats"]) for p in parts]
+    assert all(s <= 251 for s in sizes)
+    # pieces chain: consecutive parts share one point, coverage complete
+    assert sum(sizes) - (len(parts) - 1) == n
+    assert parts[0]["lats"][-1] == parts[1]["lats"][0]
+    # no tiny fragment (>= half target, LineSplitterFilter.java:80)
+    assert min(sizes) >= 125
+
+
+# ---------------------------------------------------------------- dedup
+def test_exact_and_minhash_dedup(spark):
+    from mkgmap_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    far = "completely different words about spark partitions and shuffles here"
+    docs = spark.createDataFrame(
+        [("a", base), ("b", base), ("c", near), ("d", far)], "doc_id string, text string"
+    )
+    ex = dedup.exact_dedup(docs).collect()
+    assert len(ex) == 1 and ex[0]["n_docs"] == 2 and ex[0]["keep_id"] == "a"
+
+    pairs = dedup.minhash_dedup(docs, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert ("a", "b") in got  # identical
+    assert ("a", "c") in got or ("b", "c") in got  # near-dup found
+    assert all("d" not in p for p in got)  # far doc never matches
+
+
+def test_simhash(spark):
+    from mkgmap_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("b", "alpha beta gamma delta epsilon zeta eta iota"),
+            ("c", "totally unrelated content words nothing shared at all"),
+        ],
+        "doc_id string, text string",
+    )
+    fps = dedup.simhash(docs)
+    rows = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    mask = (1 << 64) - 1
+    ham_ab = bin((rows["a"] ^ rows["b"]) & mask).count("1")
+    ham_ac = bin((rows["a"] ^ rows["c"]) & mask).count("1")
+    assert ham_ab < ham_ac  # similar docs closer in hamming space
+
+    # band-bucket guarantee: any pair within hamming 3 shares one of
+    # the 4 16-bit bands -> always found; a pair with one flip in
+    # every band is never bucketed together
+    base = 0x0123456789ABCDEF
+    synth = spark.createDataFrame(
+        [
+            ("x", base),
+            ("y", base ^ 0b111),  # 3 flips, same band
+            ("z", base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))),  # 1 flip/band
+        ],
+        "doc_id string, simhash long",
+    )
+    near = dedup.simhash_near_dups(synth, max_hamming=4).collect()
+    got = {frozenset((r["doc_a"], r["doc_b"])) for r in near}
+    assert frozenset(("x", "y")) in got
+    assert frozenset(("x", "z")) not in got
+
+
+# ---------------------------------------------------------------- text
+def test_language_id_and_quality(spark):
+    from mkgmap_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            ("e", "the cat sat on the mat and the dog was there"),
+            ("g", "der hund und die katze sind nicht da"),
+            ("u", "zzz qqq www"),
+        ],
+        "doc_id string, text string",
+    )
+    pred = {r["doc_id"]: r["pred_lang"] for r in tx.language_id(docs).collect()}
+    assert pred["e"] == "en" and pred["g"] == "de" and pred["u"] == "und"
+
+    q = {r["doc_id"]: r for r in tx.quality_scores(docs).collect()}
+    assert q["e"]["n_tokens"] == 11
+    assert q["e"]["n_distinct_tokens"] == 9
+    tk = {r["doc_id"]: r for r in tx.token_counts(docs).collect()}
+    assert tk["e"]["n_words"] == 11
+    assert tk["e"]["est_subword_tokens"] >= 11
+
+
+# ---------------------------------------------------------------- similarity
+def test_similarity_brute_vs_lsh(spark):
+    from mkgmap_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    # plant near-duplicates of vec 0 and 1
+    vecs[100] = vecs[0] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    vecs[101] = vecs[1] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = brute_force_topk(emb, q, k=1).collect()
+    top = {r["qid"]: r["nid"] for r in exact}
+    assert top == {0: 100, 1: 101}
+
+    approx = lsh_topk(emb, q, k=1, dim=16, n_planes=16, bands=8).collect()
+    atop = {r["qid"]: r["nid"] for r in approx}
+    assert atop == {0: 100, 1: 101}  # planted twins share buckets
+
+
+# ---------------------------------------------------------------- raster/mm
+def test_raster_overlay_and_multimodal(spark, documents_df, fixture_dir):
+    import os
+
+    from mkgmap_spark.operators.decode import decode_documents
+    from mkgmap_spark.operators.multimodal import decode_media_features, media_table_from_documents
+    from mkgmap_spark.operators.raster import overlay_sample
+
+    media = media_table_from_documents(documents_df)
+    n_media = media.count()
+    assert n_media > 0
+    feats = decode_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == n_media
+    assert all(r["n_bytes"] > 0 and r["payload_md5"] for r in rows)
+    # deterministic: same ref -> same fingerprint
+    again = {(r["doc_id"], r["payload_md5"]) for r in decode_media_features(media).collect()}
+    assert {(r["doc_id"], r["payload_md5"]) for r in rows} == again
+
+    rasters = spark.read.parquet(os.path.join(fixture_dir, "raster_thumbs.parquet"))
+    docs_pts = (
+        decode_documents(documents_df)
+        .filter(F.size("media_refs") > 0)
+        .filter(F.size("lats") > 0)
+        .select(
+            "id",
+            F.expr("lats[0]").alias("ay"),
+            F.expr("lons[0]").alias("ax"),
+            F.expr("media_refs[0]").alias("media_ref"),
+        )
+    )
+    sampled = overlay_sample(docs_pts, rasters)
+    out = sampled.collect()
+    assert len(out) > 0
+    vals = [r["sampled"] for r in out]
+    assert all(0 <= v <= 267 for v in vals)  # gradient 0..250 + noise 0..16

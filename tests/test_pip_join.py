@@ -1,0 +1,68 @@
+"""PIP location join: broadcast and shuffle strategies vs the scalar
+even-odd oracle, on fixture boundaries (rects, nested, holes)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mkgmap_spark.operators.decode import decode_documents
+from mkgmap_spark.operators import tiling
+from mkgmap_spark.operators.pip_join import pip_join_broadcast, pip_join_shuffle
+from mkgmap_spark.oracle.pip import locate_all
+
+
+@pytest.fixture(scope="module")
+def pip_inputs(spark, documents_df, fixture_dir):
+    feats = decode_documents(documents_df).filter(F.col("kind") == "node")
+    pts = tiling.prepare_features(feats).select("id", "ay", "ax").limit(400)
+    boundaries = spark.read.parquet(os.path.join(fixture_dir, "boundaries.parquet"))
+    pts_pd = pts.toPandas()
+    b_pd = boundaries.toPandas()
+    oracle_points = [(int(r.id), int(r.ay), int(r.ax)) for r in pts_pd.itertuples()]
+    oracle_bnds = [
+        {
+            "boundary_id": r.boundary_id,
+            "admin_level": int(r.admin_level),
+            "name": r.name,
+            "postcode": r.postcode,
+            "rings": [
+                {"lats": list(x["lats"]), "lons": list(x["lons"]), "is_hole": bool(x["is_hole"])}
+                for x in r.rings
+            ],
+        }
+        for r in b_pd.itertuples()
+    ]
+    want = locate_all(oracle_points, oracle_bnds)
+    return pts, boundaries, want
+
+
+def _got(df):
+    return {(r["id"], r["admin_level"], r["boundary_id"]) for r in df.collect()}
+
+
+def test_pip_broadcast_matches_oracle(spark, pip_inputs):
+    pts, boundaries, want = pip_inputs
+    got = _got(pip_join_broadcast(pts, boundaries))
+    assert got == want
+    assert len(want) > 50  # fixture actually covers points
+
+
+def test_pip_shuffle_matches_broadcast(spark, pip_inputs):
+    pts, boundaries, want = pip_inputs
+    got = _got(pip_join_shuffle(pts, boundaries))
+    assert got == want
+
+
+def test_pip_hole_semantics(spark, pip_inputs):
+    """Points inside a hole must not match the hole-bearing boundary
+    (level 8 towns in the fixture have holes)."""
+    pts, boundaries, want = pip_inputs
+    lvl8 = {w for w in want if w[1] == 8}
+    # the oracle says some points are in towns; the fixture's holes are
+    # inside towns, so if hole handling were broken the engine would
+    # report strictly more matches than the oracle — covered by exact
+    # equality above. Here just assert the fixture exercises level 8.
+    assert lvl8, "fixture should place some points inside level-8 towns"
