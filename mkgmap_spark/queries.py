@@ -742,7 +742,91 @@ def q_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_lines(lines, ["grp"]).select("grp", "chain_id", "n_members", "total_points")
 
 
+# --------------------------------------------------------------------------
+# q: style rule engine (compiled Column program vs hand-derived SQL)
+# --------------------------------------------------------------------------
+
+STYLE_RULESET = """
+highway=motorway [0x01 resolution 12-24]
+highway=primary & maxspeed>=60 [0x02 resolution 16-24]
+highway=primary [0x03 resolution 18-24 continue]
+surface=unpaved { set warn=yes }
+warn=yes & highway=* [0x0a resolution 22-24]
+highway=* [0x06 resolution 22-24]
+"""
+
+
+def q_style_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rules import compile_rules, parse_rules
+
+    part = _read(spark, sf_dir, "part")
+    hw = F.element_at(
+        F.array(*[F.lit(v) for v in ["motorway", "primary", "primary", "residential", "track", "service"]]),
+        (F.pmod(F.col("p_partkey"), F.lit(6)) + 1).cast("int"),
+    )
+    sf = F.element_at(
+        F.array(F.lit("paved"), F.lit("unpaved"), F.lit("gravel")),
+        (F.pmod(F.col("p_partkey"), F.lit(3)) + 1).cast("int"),
+    )
+    ms = (F.pmod(F.col("p_partkey"), F.lit(12)) * 10).cast("string")
+    tagged = part.select(
+        "p_partkey",
+        F.create_map(
+            F.lit("highway"), hw, F.lit("surface"), sf, F.lit("maxspeed"), ms
+        ).alias("tags"),
+    )
+    out = compile_rules(parse_rules(STYLE_RULESET), tagged)
+    return out.select(
+        "p_partkey", F.explode("results").alias("r")
+    ).select(
+        "p_partkey",
+        F.col("r.type_code").cast("int").alias("type_code"),
+        F.col("r.min_res").cast("int").alias("min_res"),
+    )
+
+
+# hand-derived equivalent of STYLE_RULESET over the same synthetic tags:
+#   hw = ['motorway','primary','primary','residential','track','service'][k%6]
+#   surface = ['paved','unpaved','gravel'][k%3], maxspeed = (k%12)*10
+# rule trace: motorway -> 0x01 stop; primary & ms>=60 -> 0x02 stop;
+# primary -> 0x03 continue (no actions); surface=unpaved -> warn=yes;
+# warn & highway -> 0x0a stop; highway=* -> 0x06 stop.
+Q_STYLE_RULES_SQL = """
+WITH t AS (
+  SELECT p_partkey,
+         (['motorway','primary','primary','residential','track','service'])[(p_partkey % 6) + 1] AS hw,
+         (['paved','unpaved','gravel'])[(p_partkey % 3) + 1] AS surface,
+         (p_partkey % 12) * 10 AS ms
+  FROM part
+), fired AS (
+  SELECT p_partkey,
+         CASE WHEN hw = 'motorway' THEN 1
+              WHEN hw = 'primary' AND ms >= 60 THEN 2
+              ELSE NULL END AS early_stop,
+         hw, surface, ms
+  FROM t
+)
+SELECT p_partkey, CAST(type_code AS INT) AS type_code, CAST(min_res AS INT) AS min_res
+FROM (
+  -- early terminating rules
+  SELECT p_partkey, early_stop AS type_code,
+         CASE early_stop WHEN 1 THEN 12 WHEN 2 THEN 16 END AS min_res
+  FROM fired WHERE early_stop IS NOT NULL
+  UNION ALL
+  -- primary (not ms>=60): 0x03 continue ...
+  SELECT p_partkey, 3, 18 FROM fired WHERE early_stop IS NULL AND hw = 'primary'
+  UNION ALL
+  -- ... then warn path or fallback for the same rows
+  SELECT p_partkey,
+         CASE WHEN surface = 'unpaved' THEN 10 ELSE 6 END,
+         22
+  FROM fired WHERE early_stop IS NULL
+)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "style_rules": q_style_rules,
     "knn_cells": q_knn_cells,
     "pip_polygon": q_pip_polygon,
     "segment_join": q_segment_join,
@@ -768,6 +852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "style_rules": Q_STYLE_RULES_SQL,
     "knn_cells": Q_KNN_SQL,
     "pip_polygon": Q_PIP_POLYGON_SQL,
     "segment_join": Q_SEGMENT_JOIN_SQL,

@@ -1,0 +1,194 @@
+"""Rule engine: hand-written semantic cases + seeded random
+differential test (compiled Column program vs naive interpreter —
+the RulesTest pattern, test/main/RulesTest.java:74-160)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mkgmap_spark.rules import compile_rules, interpret, parse_rules
+from mkgmap_spark.rules.parser import parse_rule
+
+
+# ------------------------------------------------------------- parser
+def test_parse_basics():
+    r = parse_rule("highway=primary [0x02 resolution 18-24]")
+    assert r.gtype.type_code == 2 and (r.gtype.min_res, r.gtype.max_res) == (18, 24)
+    r = parse_rule("highway=* & ref~'A[0-9]+' { set shield='${ref}' } [0x03 resolution 20-24 continue with_actions]")
+    assert r.cont and r.with_actions and r.actions[0].kind == "set"
+    r = parse_rule("a=1 | b=2 & !c=3 [0x01]")
+    # precedence: ! > & > |
+    from mkgmap_spark.rules.parser import Or
+
+    assert isinstance(r.pred, Or)
+
+
+# ------------------------------------------------- semantic hand cases
+CASES = [
+    # first-match wins
+    (
+        """
+        highway=primary [0x01]
+        highway=* [0x02]
+        """,
+        {"highway": "primary"},
+        [1],
+    ),
+    # continue: both emitted
+    (
+        """
+        highway=primary [0x01 continue]
+        highway=* [0x02]
+        """,
+        {"highway": "primary"},
+        [1, 2],
+    ),
+    # action-only rule mutates tags for later rules
+    (
+        """
+        highway=track { set surface=dirt }
+        surface=dirt [0x07]
+        """,
+        {"highway": "track"},
+        [7],
+    ),
+    # add does not overwrite
+    (
+        """
+        highway=* { add surface=paved }
+        surface=dirt [0x08]
+        surface=paved [0x09]
+        """,
+        {"highway": "x", "surface": "dirt"},
+        [8],
+    ),
+    # plain continue does NOT persist actions; with_actions does
+    (
+        """
+        highway=a { set marker=yes } [0x01 continue]
+        marker=yes [0x02]
+        highway=a [0x03]
+        """,
+        {"highway": "a"},
+        [1, 3],
+    ),
+    (
+        """
+        highway=a { set marker=yes } [0x01 continue with_actions]
+        marker=yes [0x02]
+        """,
+        {"highway": "a"},
+        [1, 2],
+    ),
+    # != matches missing tag (NotEqualOp)
+    ("oneway!=yes [0x04]", {"highway": "x"}, [4]),
+    # numeric with non-numeric value never matches
+    ("maxspeed>50 [0x05]", {"maxspeed": "fast"}, []),
+    ("maxspeed>50 [0x05]", {"maxspeed": "80"}, [5]),
+    # regex full-match
+    ("ref~'A[0-9]+' [0x06]", {"ref": "A12"}, [6]),
+    ("ref~'A[0-9]+' [0x06]", {"ref": "xA12y"}, []),
+    # substitution referencing missing tag -> action skipped
+    (
+        """
+        highway=* { set nm='${name} road' }
+        nm=* [0x0a]
+        highway=* [0x0b]
+        """,
+        {"highway": "x"},
+        [11],
+    ),
+]
+
+
+@pytest.mark.parametrize("src,tags,want", CASES)
+def test_interpreter_semantics(src, tags, want):
+    rules = parse_rules(src)
+    got, _ = interpret(rules, tags)
+    assert [g.type_code for g in got] == want
+
+
+@pytest.mark.parametrize("src,tags,want", CASES)
+def test_compiled_matches_interpreter_cases(spark, src, tags, want):
+    rules = parse_rules(src)
+    df = spark.createDataFrame([(1, tags)], "id long, tags map<string,string>")
+    out = compile_rules(rules, df).collect()[0]
+    assert [r["type_code"] for r in out["results"]] == want
+    _, want_tags = interpret(rules, tags)
+    assert dict(out["tags_out"]) == want_tags
+
+
+# ------------------------------------------------------ differential
+def _random_ruleset(rng: random.Random, n_rules: int) -> str:
+    keys = ["highway", "surface", "ref", "maxspeed", "name", "oneway"]
+    vals = ["primary", "secondary", "dirt", "paved", "yes", "no", "40", "80"]
+
+    def pred(depth=0):
+        c = rng.random()
+        if depth < 2 and c < 0.2:
+            return f"({pred(depth+1)} & {pred(depth+1)})"
+        if depth < 2 and c < 0.35:
+            return f"({pred(depth+1)} | {pred(depth+1)})"
+        if depth < 2 and c < 0.45:
+            return f"!({pred(depth+1)})"
+        k = rng.choice(keys)
+        op = rng.choice(["=", "!=", "=*", "!=*", ">", "<", "~"])
+        if op in ("=*", "!=*"):
+            return f"{k}{op}"
+        if op == "~":
+            return f"{k}~'{rng.choice(['p.*', '[ab]+', '.*y', 'no|yes'])}'"
+        if op in (">", "<"):
+            return f"{k}{op}{rng.choice(['30', '50', '70'])}"
+        return f"{k}{op}{rng.choice(vals)}"
+
+    lines = []
+    for i in range(n_rules):
+        acts = ""
+        if rng.random() < 0.4:
+            a = rng.choice(
+                [
+                    f"set {rng.choice(keys)}={rng.choice(vals)}",
+                    f"add {rng.choice(keys)}={rng.choice(vals)}",
+                    f"delete {rng.choice(keys)}",
+                    "set label='${name}-x'",
+                ]
+            )
+            acts = " { " + a + " }"
+        gt = ""
+        if rng.random() < 0.8:
+            cont = rng.random()
+            suffix = " continue with_actions" if cont < 0.15 else (" continue" if cont < 0.3 else "")
+            gt = f" [0x{i + 1:02x} resolution 18-24{suffix}]"
+        if not gt and not acts:
+            acts = " { add x=1 }"
+        lines.append(pred() + acts + gt)
+    return "\n".join(lines)
+
+
+def _random_tags(rng: random.Random) -> dict[str, str]:
+    keys = ["highway", "surface", "ref", "maxspeed", "name", "oneway"]
+    vals = ["primary", "secondary", "dirt", "paved", "yes", "no", "40", "80", "A12"]
+    return {k: rng.choice(vals) for k in rng.sample(keys, rng.randint(1, 4))}
+
+
+def test_differential_random(spark):
+    """Seeded random rules + random tag sets: compiled == interpreted.
+    (Seed fixed like the reference's default 8799543.)"""
+    rng = random.Random(8799543)
+    for round_i in range(3):
+        rules = parse_rules(_random_ruleset(rng, 12))
+        tag_sets = [_random_tags(rng) for _ in range(40)]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tag_sets)], "id long, tags map<string,string>"
+        )
+        got = {
+            r["id"]: ([x["type_code"] for x in r["results"]], dict(r["tags_out"]))
+            for r in compile_rules(rules, df).collect()
+        }
+        for i, tags in enumerate(tag_sets):
+            types, out_tags = interpret(rules, tags)
+            assert got[i][0] == [g.type_code for g in types], (round_i, i, tags)
+            assert got[i][1] == out_tags, (round_i, i, tags)
