@@ -1,0 +1,143 @@
+"""Geometry-aware tile assignment: clip-split + large-object rule.
+
+Reference semantics (build/MapArea.java:223-338):
+- lines/shapes go to the tile holding their centre (pickArea), and may
+  stick out over the border;
+- a LINE whose bbox exceeds the area's large-object limits
+  (maxWidth/maxHeight = max(min(tile_dim, maxSize/2),
+  2*LARGE_OBJECT_DIM), LARGE_OBJECT_DIM=8192, MapArea.java:59,270-271)
+  and is not contained in its centre tile gets a PRIVATE area of its
+  own bounds (MapArea.java:315-323);
+- SHAPES are clip-split into every overlapping area
+  (splitPolygonsIntoArea / orderByDecreasingArea mode,
+  MapArea.splitIntoAreas:808-880 using ShapeSplitter) — the engine
+  adopts this mode unconditionally for border-crossing shapes (the
+  mkgmap default since r4+); each piece is the Sutherland-Hodgman clip
+  of the ring to the tile rectangle, kept when it has positive area.
+
+Output membership: (id, level, tile_id, part) — part=0 for unsplit,
+k = 0..n-1 over a split shape's pieces ordered by tile_id (the shared
+canonicalization the row-for-row gate needs, SURVEY §7 hard-point 3).
+Private tiles are appended to the tile list ordered by feature id.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geometry import clip_ring, shoelace2
+from .tiling import MAX_DIVISION_SIZE, SHAPE_KIND, Tile, TileIndex
+
+LARGE_OBJECT_DIM = 8192  # MapArea.java:59
+
+
+def max_size_for_shift(shift: int) -> int:
+    # MapArea.java:260: min(2^24-1, max(MAX_DIVISION_SIZE << shift, 0x8000))
+    return min((1 << 24) - 1, max(MAX_DIVISION_SIZE << shift, 0x8000))
+
+
+def assign_ways_with_split(
+    spark: SparkSession,
+    ways: DataFrame,
+    index: TileIndex,
+    tiles: list[Tile],
+    shift: int,
+    level: int = 0,
+) -> tuple[list[Tile], DataFrame]:
+    """ways: (id, kind_i in {1,2}, lats, lons).  Returns (tiles +
+    appended private tiles, membership df (id, level, tile_id, part))."""
+    bounds_map = index.tile_bounds()
+    max_size = max_size_for_shift(shift)
+
+    def kernel(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(np.int64)
+            kinds = pdf["kind_i"].to_numpy(np.int64)
+            la_list = pdf["lats"].tolist()
+            lo_list = pdf["lons"].tolist()
+            n = len(ids)
+            y0 = np.array([min(v) for v in la_list], dtype=np.int64)
+            y1 = np.array([max(v) for v in la_list], dtype=np.int64)
+            x0 = np.array([min(v) for v in lo_list], dtype=np.int64)
+            x1 = np.array([max(v) for v in lo_list], dtype=np.int64)
+            ay = (y0 + y1) // 2
+            ax = (x0 + x1) // 2
+            base = index.assign(ay, ax)
+
+            out_id, out_tile, out_part, out_priv = [], [], [], []
+            for i in range(n):
+                t = int(base[i])
+                tb = bounds_map.get(t)
+                if tb is None:
+                    continue
+                contained = tb[0] <= y0[i] and y1[i] < tb[2] and tb[1] <= x0[i] and x1[i] < tb[3]
+                if contained:
+                    out_id.append(ids[i]); out_tile.append(t); out_part.append(0); out_priv.append(False)
+                    continue
+                if kinds[i] == SHAPE_KIND:
+                    cand = index.overlapping(int(y0[i]), int(x0[i]), int(y1[i]) + 1, int(x1[i]) + 1)
+                    la = np.asarray(la_list[i], dtype=np.int64)
+                    lo = np.asarray(lo_list[i], dtype=np.int64)
+                    part = 0
+                    for ct in sorted(set(cand)):
+                        cb = bounds_map[ct]
+                        cy, cx = clip_ring(la, lo, (cb[0], cb[1], cb[2] - 1, cb[3] - 1))
+                        if len(cy) >= 3 and shoelace2(np.round(cy).astype(np.int64), np.round(cx).astype(np.int64)) != 0:
+                            out_id.append(ids[i]); out_tile.append(ct); out_part.append(part); out_priv.append(False)
+                            part += 1
+                    if part == 0:  # degenerate: keep centre tile
+                        out_id.append(ids[i]); out_tile.append(t); out_part.append(0); out_priv.append(False)
+                else:
+                    tw, th = tb[3] - tb[1], tb[2] - tb[0]
+                    max_w = max(min(tw, max_size // 2), 2 * LARGE_OBJECT_DIM)
+                    max_h = max(min(th, max_size // 2), 2 * LARGE_OBJECT_DIM)
+                    if (y1[i] - y0[i]) > max_h or (x1[i] - x0[i]) > max_w:
+                        out_id.append(ids[i]); out_tile.append(-1); out_part.append(0); out_priv.append(True)
+                    else:
+                        out_id.append(ids[i]); out_tile.append(t); out_part.append(0); out_priv.append(False)
+            yield pd.DataFrame(
+                {"id": out_id, "tile_id": out_tile, "part": out_part, "_priv": out_priv}
+            )
+
+    raw = ways.select("id", "kind_i", "lats", "lons").mapInPandas(
+        kernel, "id long, tile_id long, part int, _priv boolean"
+    )
+    raw = raw.persist()
+
+    # private tiles: deterministic — ordered by feature id, appended
+    priv = raw.filter(F.col("_priv"))
+    priv_rows = (
+        priv.join(ways.select("id", "lats", "lons"), "id")
+        .select(
+            "id",
+            F.array_min("lats").alias("y0"),
+            F.array_min("lons").alias("x0"),
+            (F.array_max("lats") + 1).alias("y1"),
+            (F.array_max("lons") + 1).alias("x1"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    tiles_out = list(tiles)
+    priv_map = {}
+    for r in priv_rows:
+        tid = len(tiles_out)
+        priv_map[r["id"]] = tid
+        tiles_out.append(
+            Tile(tid, level, r["y0"], r["x0"], r["y1"], r["x1"], 1, 0, 1, 0, 0, -1)
+        )
+
+    if priv_map:
+        pm = F.create_map(*[F.lit(v) for kv in priv_map.items() for v in kv])
+        raw = raw.withColumn(
+            "tile_id", F.when(F.col("_priv"), pm[F.col("id")]).otherwise(F.col("tile_id"))
+        )
+    members = raw.select("id", F.lit(level).alias("level"), "tile_id", "part")
+    return tiles_out, members

@@ -347,6 +347,38 @@ class TileIndex:
     root_min_x: int
     levels: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]  # s -> (keys, tile_ids, n_slots)
 
+    def overlapping(self, y0: int, x0: int, y1: int, x1: int) -> list[int]:
+        """Tile ids whose bounds intersect the half-open bbox
+        [y0,y1) x [x0,x1). Tiles are aligned blocks, so per depth the
+        candidates form a small rectangular key range."""
+        out: list[int] = []
+        ty0, tx0 = y0 - self.root_min_y, x0 - self.root_min_x
+        ty1, tx1 = y1 - 1 - self.root_min_y, x1 - 1 - self.root_min_x
+        for s, (keys, tids, _slots) in self.levels.items():
+            a, b = _shape(s)
+            by0, by1 = ty0 >> a, ty1 >> a
+            bx0, bx1 = tx0 >> b, tx1 >> b
+            for by in range(by0, by1 + 1):
+                lo = np.searchsorted(keys, (by << 32) | bx0)
+                hi = np.searchsorted(keys, ((by << 32) | bx1), side="right")
+                out.extend(tids[lo:hi].tolist())
+        return out
+
+    def tile_bounds(self) -> dict[int, tuple[int, int, int, int]]:
+        """tile_id -> (min_lat, min_lon, max_lat, max_lon)."""
+        out = {}
+        for s, (keys, tids, _slots) in self.levels.items():
+            a, b = _shape(s)
+            for k, t in zip(keys.tolist(), tids.tolist()):
+                by, bx = k >> 32, k & 0xFFFFFFFF
+                out[t] = (
+                    self.root_min_y + (by << a),
+                    self.root_min_x + (bx << b),
+                    self.root_min_y + ((by + 1) << a),
+                    self.root_min_x + ((bx + 1) << b),
+                )
+        return out
+
     def assign(self, ay: np.ndarray, ax: np.ndarray) -> np.ndarray:
         ay = np.asarray(ay, dtype=np.int64)
         ax = np.asarray(ax, dtype=np.int64)

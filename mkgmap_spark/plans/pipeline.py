@@ -37,11 +37,20 @@ def build_tiles(
     documents: DataFrame,
     levels: tuple[tuple[int, int], ...] = DEFAULT_LEVELS,
     cache: bool = True,
+    geometry_assign: bool = False,
 ) -> TileBuildResult:
+    """documents -> (tiles, membership) over the level pyramid.
+
+    ``geometry_assign=True`` turns on the MapArea geometry semantics
+    for ways: clip-split of border-crossing shapes into every
+    overlapping tile + private tiles for oversized lines
+    (operators/clip_assign.py); points always go through the
+    slot-aware point assignment."""
     features = decode_documents(documents).filter(F.col("kind").isin("node", "way"))
-    prepared = tiling.prepare_features(features).select(
-        "id", "kind_i", "ay", "ax", "size_bytes", "min_res"
-    )
+    cols = ["id", "kind_i", "ay", "ax", "size_bytes", "min_res"]
+    if geometry_assign:
+        cols += ["lats", "lons"]
+    prepared = tiling.prepare_features(features).select(*cols)
     if cache:
         prepared = prepared.persist()
 
@@ -53,15 +62,38 @@ def build_tiles(
         lvl_df = prepared.filter(F.col("min_res") <= resolution)
         provider = tiling.SparkHistogramProvider(lvl_df)
         result = tiling.split_level(provider, shift, level=level)
-        tiles_df = tiling.tiles_to_df(spark, result.tiles)
-        members_df = tiling.assign_tiles(prepared, result.index, resolution, level)
+        tiles = result.tiles
+
+        if geometry_assign:
+            from ..operators.clip_assign import assign_ways_with_split
+
+            pts = lvl_df.filter(F.col("kind_i") == tiling.POINT_KIND)
+            m_pts = (
+                tiling.assign_tiles(pts, result.index, resolution, level)
+                .withColumn("part", F.lit(0))
+                .select("id", "level", "tile_id", "kind_i", "part")
+            )
+            ways = lvl_df.filter(F.col("kind_i") != tiling.POINT_KIND)
+            tiles, m_ways = assign_ways_with_split(spark, ways, result.index, tiles, shift, level)
+            m_ways = m_ways.join(lvl_df.select("id", "kind_i"), "id").select(
+                "id", "level", "tile_id", "kind_i", "part"
+            )
+            members_df = m_pts.unionByName(m_ways)
+        else:
+            members_df = (
+                tiling.assign_tiles(prepared, result.index, resolution, level)
+                .withColumn("part", F.lit(0))
+                .select("id", "level", "tile_id", "kind_i", "part")
+            )
+
+        tiles_df = tiling.tiles_to_df(spark, tiles)
         all_tiles = tiles_df if all_tiles is None else all_tiles.unionByName(tiles_df)
         all_members = members_df if all_members is None else all_members.unionByName(members_df)
         stats.append(
             {
                 "level": level,
                 "resolution": resolution,
-                "n_tiles": len(result.tiles),
+                "n_tiles": len(tiles),
                 "refine_rounds": result.refine_rounds,
                 "cells_fetched": result.cells_fetched,
                 "histogram_jobs": provider.jobs,

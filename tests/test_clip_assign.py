@@ -1,0 +1,83 @@
+"""Geometry-aware assignment (clip-split + large-object) vs oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mkgmap_spark.operators import tiling
+from mkgmap_spark.operators.clip_assign import assign_ways_with_split
+from mkgmap_spark.operators.decode import decode_documents
+from mkgmap_spark.oracle.tiles import split_with_geometry
+
+
+def _inputs(spark, documents_df):
+    feats = decode_documents(documents_df).filter(F.col("kind").isin("node", "way"))
+    prepared = tiling.prepare_features(feats).select(
+        "id", "kind_i", "ay", "ax", "size_bytes", "min_res", "lats", "lons"
+    )
+    pdf = prepared.toPandas()
+    elements = [
+        {
+            "id": int(r.id),
+            "kind_i": int(r.kind_i),
+            "lats": list(r.lats) if len(r.lats) else [int(r.ay)],
+            "lons": list(r.lons) if len(r.lons) else [int(r.ax)],
+            "size_bytes": int(r.size_bytes),
+        }
+        for r in pdf.itertuples()
+    ]
+    return prepared, elements
+
+
+def test_clip_assign_vs_oracle(spark, documents_df):
+    prepared, elements = _inputs(spark, documents_df)
+    shift = 0
+
+    provider = tiling.SparkHistogramProvider(prepared)
+    res = tiling.split_level(provider, shift)
+    ways = prepared.filter(F.col("kind_i") != tiling.POINT_KIND)
+    tiles2, members = assign_ways_with_split(spark, ways, res.index, res.tiles, shift)
+    got = {(r["id"], r["tile_id"], r["part"]) for r in members.collect()}
+
+    o_tiles, _o_pts, o_ways = split_with_geometry(elements, shift)
+    assert got == o_ways
+
+    # appended private tiles match bounds
+    n_base = len(res.tiles)
+    got_priv = [(t.min_lat, t.min_lon, t.max_lat, t.max_lon) for t in tiles2[n_base:]]
+    want_priv = [
+        (t["min_lat"], t["min_lon"], t["max_lat"], t["max_lon"]) for t in o_tiles[n_base:]
+    ]
+    assert got_priv == want_priv
+
+
+def test_clip_split_shapes_exist(spark, documents_df):
+    """The fixture must actually exercise the split path: some closed
+    shapes cross tile borders at shift 0."""
+    prepared, elements = _inputs(spark, documents_df)
+    provider = tiling.SparkHistogramProvider(prepared)
+    res = tiling.split_level(provider, 0)
+    ways = prepared.filter(F.col("kind_i") != tiling.POINT_KIND)
+    _, members = assign_ways_with_split(spark, ways, res.index, res.tiles, 0)
+    multi = (
+        members.groupBy("id").count().filter(F.col("count") > 1).count()
+    )
+    assert multi > 0
+
+
+def test_pipeline_geometry_assign(spark, documents_df):
+    """build_tiles(geometry_assign=True) end-to-end vs the oracle."""
+    from mkgmap_spark.plans.pipeline import build_tiles
+
+    res = build_tiles(spark, documents_df, levels=((0, 24),), geometry_assign=True)
+    prepared, elements = _inputs(spark, documents_df)
+    o_tiles, o_pts, o_ways = split_with_geometry(elements, 0)
+
+    rows = res.membership.collect()
+    got_pts = {r["id"]: r["tile_id"] for r in rows if r["kind_i"] == 0}
+    got_ways = {(r["id"], r["tile_id"], r["part"]) for r in rows if r["kind_i"] != 0}
+    want_pts = {e["id"]: o_pts[e["id"]] for e in elements if e["kind_i"] == 0}
+    assert got_pts == want_pts
+    assert got_ways == o_ways
+    assert res.tiles.count() == len(o_tiles)
