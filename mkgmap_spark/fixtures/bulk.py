@@ -53,11 +53,33 @@ def _chunk(n: int, seed: int, id_base: int) -> pa.Table:
     r = rng.rand(n)
     is_node = r < 0.60
     is_way = (r >= 0.60) & (r < 0.85)
+    is_doc = ~(is_node | is_way)
     way_len = np.where(is_way, rng.randint(2, 12, size=n), 0)
+    has_note = is_node & (rng.rand(n) < 0.3)
 
-    # spans per doc: node -> 2 (tag+coord); way -> 1 tag + way_len coords;
-    # text doc -> 2 (text + coord)
-    n_spans = np.where(is_node, 2, np.where(is_way, 1 + way_len, 2)).astype(np.int64)
+    # realistic text payloads: pure text docs carry ~120 words, 30% of
+    # nodes carry a ~16-word note span — the 100-TB corpus is
+    # text+media, so per-doc text processing dominates raw scan bytes
+    vocab = np.array(
+        "the of and to in is that for with was river road bridge park lane high main "
+        "church mill green north south east west old new upper lower market station "
+        "school farm hill wood stone cross bank field gate spring brook dale moor "
+        "data span tile cell index layer region vector raster corpus".split()
+    )
+    text_len = np.where(is_doc, 120, np.where(has_note, 16, 0))
+    word_idx_all = rng.randint(0, len(vocab), size=int(text_len.sum()))
+    text_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(text_len, out=text_offsets[1:])
+    texts = np.empty(n, dtype=object)
+    vw = vocab[word_idx_all]
+    for i in np.flatnonzero(text_len):
+        texts[i] = " ".join(vw[text_offsets[i] : text_offsets[i + 1]])
+
+    # span layout: slot0 = tag (geo) or text (doc); note nodes add a
+    # text span at slot1; all remaining slots are coords
+    n_spans = np.where(
+        is_node, 2 + has_note.astype(np.int64), np.where(is_way, 1 + way_len, 2)
+    ).astype(np.int64)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(n_spans, out=offsets[1:])
     total = int(offsets[-1])
@@ -65,23 +87,22 @@ def _chunk(n: int, seed: int, id_base: int) -> pa.Table:
     kind = np.empty(total, dtype=object)
     text = np.empty(total, dtype=object)
 
-    # first span: tag for node/way, text for docs
     first = offsets[:-1]
     kind[first] = "tag"
-    kind[first[~(is_node | is_way)]] = "text"
+    kind[first[is_doc]] = "text"
     hw = np.array(["highway=primary", "highway=residential", "highway=track", "amenity=post_box"])
     tag_txt = hw[rng.randint(0, len(hw), size=n)]
-    words = np.array(["river road", "old mill", "market lane", "north hill"])
-    txt_txt = words[rng.randint(0, len(words), size=n)]
-    text[first] = np.where(is_node | is_way, tag_txt, txt_txt)
+    text[first] = np.where(is_doc, texts, tag_txt)
 
-    # coords: every remaining slot is a coord span
+    note_slots = (first + 1)[has_note]
+    kind[note_slots] = "text"
+    text[note_slots] = texts[has_note]
+
     coord_mask = np.ones(total, dtype=bool)
     coord_mask[first] = False
-    n_coords = total - n
-    # per-span doc index
+    coord_mask[note_slots] = False
+
     doc_of = np.repeat(np.arange(n), n_spans)
-    # per-span position within doc
     pos = np.arange(total) - np.repeat(offsets[:-1], n_spans)
     step_y = rng.randint(-400, 400, size=total)
     step_x = rng.randint(-400, 400, size=total)

@@ -52,6 +52,21 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def minhash_signature_col(shingles_expr: str, n_hashes: int = 64) -> F.Column:
+    """Column form: array of n_hashes int64 minhashes over a shingles
+    array expression.  Permutation i reuses xxhash64(shingle, seed=i);
+    the per-seed min is an F.aggregate fold (no UDF)."""
+    return F.array(
+        *[
+            F.expr(
+                f"aggregate(transform({shingles_expr}, s -> xxhash64(s, {i})),"
+                f" cast(9223372036854775807 as bigint), (acc, v) -> least(acc, v))"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -59,23 +74,10 @@ def minhash_signatures(
     shingle_k: int = 3,
     n_hashes: int = 64,
 ) -> DataFrame:
-    """doc -> array of n_hashes int64 minhashes, all JVM-side.
-
-    Permutation i reuses xxhash64(shingle, seed=i) — one hash family,
-    n seeds; the per-seed min is an F.aggregate fold (no UDF).
-    """
+    """doc -> array of n_hashes int64 minhashes, all JVM-side."""
     sh = _shingles_col(text_col, shingle_k)
     d = docs.select(F.col(id_col).alias("doc_id"), sh.alias("_sh"))
-    sig = F.array(
-        *[
-            F.expr(
-                f"aggregate(transform(_sh, s -> xxhash64(s, {i})), cast(9223372036854775807 as bigint),"
-                f" (acc, v) -> least(acc, v))"
-            )
-            for i in range(n_hashes)
-        ]
-    )
-    return d.select("doc_id", sig.alias("signature"))
+    return d.select("doc_id", minhash_signature_col("_sh", n_hashes).alias("signature"))
 
 
 def minhash_lsh_candidates(

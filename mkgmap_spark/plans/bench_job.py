@@ -1,31 +1,42 @@
-"""The benched flagship job: documents parquet -> decode -> tile split
--> assignment -> parquet sinks.  Invoked in a fresh process per
-parallelism level by scripts/scaling_bench.py so each run gets its own
-JVM (no warm-cache bleed between cluster sizes).
+"""The benched flagship job: the full north-star pipeline over the
+interleaved documents corpus.
+
+    documents.parquet
+      -> decode spans -> prepared features           (checkpoint)
+      -> doc features: span fingerprint, token stats,
+         minhash signature                           (sink)
+      -> PIP location join vs boundary lattice       (sink)
+      -> histogram -> quadtree split -> assignment   (sinks)
+
+Invoked in a fresh process per parallelism level by
+scripts/scaling_bench.py so each run gets its own JVM.
 
     python -m mkgmap_spark.plans.bench_job --cpus 8 \
-        --corpus /path/docs.parquet --out /tmp/out
+        --corpus /path/docs_dir --out /tmp/out
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-
-import pandas as pd
 import os
 import shutil
 import sys
 import tempfile
 import time
 
+import pandas as pd
+
 
 def run(cpus: int, corpus: str, out_dir: str, shuffle_partitions: int | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from ..operators import tiling
-    from ..operators.decode import decode_documents
+    from ..operators.decode import decode_documents, span_sequence_fingerprint
+    from ..operators.dedup import minhash_signatures
+    from ..operators.pip_join import pip_join_broadcast
     from ..session import get_spark
+    from .checkpoint import CheckpointManager
 
     spark = get_spark(
         app_name=f"bench_job_{cpus}",
@@ -40,9 +51,16 @@ def run(cpus: int, corpus: str, out_dir: str, shuffle_partitions: int | None = N
             "spark.sql.files.openCostInBytes": "262144",
         },
     )
-    from .checkpoint import CheckpointManager
-
     docs = spark.read.parquet(corpus)
+
+    # boundary lattice for the location join (deterministic, small)
+    import pyarrow.parquet as pq
+
+    from ..fixtures.generator import generate_boundaries
+
+    bpath = f"{out_dir}/boundaries.parquet"
+    pq.write_table(generate_boundaries(k=6, seed=43), bpath)
+    boundaries = spark.read.parquet(bpath)
 
     # Warm-up outside the measured window: JIT-compile the codegen'd
     # decode path and fork the Arrow python workers once.  A 100-TB job
@@ -62,17 +80,61 @@ def run(cpus: int, corpus: str, out_dir: str, shuffle_partitions: int | None = N
     t0 = time.perf_counter()
     ckpt = CheckpointManager(spark, f"{out_dir}/checkpoints", collect_partition_metrics=False)
 
-    def _build_prepared() -> "F.DataFrame":
+    def _build_prepared():
         features = decode_documents(docs).filter(F.col("kind").isin("node", "way"))
         return tiling.prepare_features(features).select(
             "id", "kind_i", "ay", "ax", "size_bytes", "min_res"
         )
 
-    # checkpointed stage: later stages (histograms, assignment) re-scan
-    # the columnar output instead of recomputing the decode
+    # checkpointed stage: later stages re-scan columnar output instead
+    # of recomputing the decode
     prepared = ckpt.stage("prepared", _build_prepared, inputs=[corpus], coalesce=cpus * 2)
     n_features = prepared.count()
     t_decode = time.perf_counter()
+
+    # doc-features pass: span-sequence fingerprint (the per-row
+    # invariant artifact), token stats over text spans, 32-hash minhash
+    # signature — JVM-side projections + one sink
+    from ..operators.dedup import minhash_signature_col
+
+    text_col = F.expr(
+        "array_join(transform(filter(spans, s -> s.kind = 'text'), s -> s.text), ' ')"
+    )
+    span_seq = F.expr(
+        "array_join(transform("
+        "  sort_array(transform(spans, s -> struct(s.offset as o,"
+        "    concat_ws('\\u0001', s.kind, coalesce(s.text, ''), coalesce(s.media_ref, '')) as v))),"
+        "  p -> p.v), '\\u0002')"
+    )
+    # one projection, one sink — no joins between the per-doc features
+    doc_text = docs.select(
+        "doc_id",
+        F.md5(span_seq).alias("span_fp"),
+        text_col.alias("text"),
+    ).select(
+        "doc_id",
+        "span_fp",
+        F.when(F.length(F.trim("text")) == 0, 0)
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.expr(
+            "case when size(split(trim(text), '\\\\s+')) < 3 then array(text) "
+            "else transform(sequence(1, size(split(trim(text), '\\\\s+')) - 2),"
+            " i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, 3))) end"
+        ).alias("_sh"),
+    )
+    feats_out = doc_text.select(
+        "doc_id", "span_fp", "n_tokens", minhash_signature_col("_sh", 32).alias("signature")
+    )
+    feats_out.coalesce(cpus * 2).write.mode("overwrite").parquet(f"{out_dir}/doc_features")
+    t_docfeat = time.perf_counter()
+
+    # location join (LocationHook): nodes vs the boundary lattice
+    pts = prepared.filter(F.col("kind_i") == tiling.POINT_KIND)
+    located = pip_join_broadcast(pts, boundaries, gshift=17)
+    located.coalesce(cpus).write.mode("overwrite").parquet(f"{out_dir}/located")
+    t_pip = time.perf_counter()
 
     provider = tiling.SparkHistogramProvider(prepared)
     res = tiling.split_level(provider, shift=0, level=0)
@@ -83,9 +145,6 @@ def run(cpus: int, corpus: str, out_dir: str, shuffle_partitions: int | None = N
     tiles_df = tiling.tiles_to_df(spark, res.tiles)
     tiles_df.write.mode("overwrite").parquet(f"{out_dir}/tiles")
     t_end = time.perf_counter()
-
-    # corpus row count from parquet footers (no Spark job)
-    import pyarrow.parquet as pq
 
     if os.path.isdir(corpus):
         n_docs = sum(
@@ -103,7 +162,9 @@ def run(cpus: int, corpus: str, out_dir: str, shuffle_partitions: int | None = N
         "n_tiles": len(res.tiles),
         "refine_rounds": res.refine_rounds,
         "t_decode_s": round(t_decode - t0, 3),
-        "t_split_s": round(t_split - t_decode, 3),
+        "t_docfeat_s": round(t_docfeat - t_decode, 3),
+        "t_pip_s": round(t_pip - t_docfeat, 3),
+        "t_split_s": round(t_split - t_pip, 3),
         "t_assign_write_s": round(t_end - t_split, 3),
         "wall_s": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 1),
