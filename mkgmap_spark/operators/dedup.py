@@ -146,10 +146,17 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Token hash bit-votes: bit j of the fingerprint is 1 iff more token
     hashes have bit j set than not.
     """
+    # hash each token ONCE, then 64 cheap bit-vote folds over the
+    # prehashed array (rehashing per bit was 64x the hashing work)
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"transform(split(trim(coalesce({text_col}, '')), '\\\\s+'), t -> xxhash64(t))"
+        ).alias("_h"),
+    )
     votes = [
         F.expr(
-            f"aggregate(transform(split(trim(coalesce({text_col}, '')), '\\\\s+'),"
-            f" t -> cast(shiftright(xxhash64(t), {j}) & 1 as int) * 2 - 1), 0, (acc, v) -> acc + v)"
+            f"aggregate(_h, 0, (acc, v) -> acc + cast(shiftright(v, {j}) & 1 as int) * 2 - 1)"
         )
         for j in range(64)
     ]
@@ -157,7 +164,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     for j in range(64):
         bit = -(1 << 63) if j == 63 else (1 << j)
         fp = fp + F.when(votes[j] > 0, F.lit(bit).cast("long")).otherwise(F.lit(0).cast("long"))
-    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+    return d.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_dups(fps: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -108,11 +108,13 @@ def knn_join_cells(
     best: DataFrame | None = None  # accumulated top-k candidates per left id
     results: list[DataFrame] = []
 
-    for ring in range(max_rings + 1):
-        # cells at Chebyshev distance exactly `ring`
+    for ring in range(1, max_rings + 1):
+        # round 1 covers Chebyshev <= 1 (certification radius 0 at ring
+        # 0 can never fire, so probing the 3x3 block immediately saves
+        # one full driver round); later rounds add ring `ring` only
         offsets = []
-        if ring == 0:
-            offsets = [(0, 0)]
+        if ring == 1:
+            offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
         else:
             for dx in range(-ring, ring + 1):
                 offsets.append((-ring, dx))

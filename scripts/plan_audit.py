@@ -1,0 +1,97 @@
+"""Physical-plan audit: capture .explain("formatted") evidence that
+the engine produces the plans you'd want at 100 TB — filter/column
+pushdown into the parquet scan, whole-stage codegen over the hot
+expressions, broadcast joins for small dims, partial aggregation.
+
+    python scripts/plan_audit.py > PLANS.md
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def grab(name: str, df, want: list[str], lines: int = 28) -> str:
+    p = plan_of(df)
+    found = {w: (w in p) for w in want}
+    head = "\n".join(p.splitlines()[:lines])
+    checks = "\n".join(f"- `{w}`: {'✅' if ok else '❌ MISSING'}" for w, ok in found.items())
+    return f"## {name}\n\n{checks}\n\n```\n{head}\n```\n"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from mkgmap_spark.queries import QUERIES, lat_col, lon_col
+    from mkgmap_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4,
+                      extra_conf={"spark.ui.showConsoleProgress": "false",
+                                  "spark.driver.memory": "4g"})
+
+    sections = []
+
+    # 1. scan pruning: tag filter + 2-col projection must reach parquet
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_orderkey", "l_quantity")
+    sections.append(
+        grab("Scan pruning (filter + column pushdown)", q,
+             ["PushedFilters", "ReadSchema: struct<l_orderkey:bigint", "codegen id"])
+    )
+
+    # 2. pip_rect_join: broadcast join of the small dim side
+    sections.append(
+        grab("pip_rect_join (broadcast spatial join)", QUERIES["pip_rect_join"](spark, SF),
+             ["BroadcastNestedLoopJoin Inner BuildRight", "AdaptiveSparkPlan"])  # range-predicate join -> BNLJ w/ broadcast; codegen ids print post-execution under AQE
+    )
+
+    # 3. cell_index: partial aggregation (map-side combine) on cells
+    sections.append(
+        grab("cell_index (partial aggregation)", QUERIES["cell_index"](spark, SF),
+             ["HashAggregate", "hashpartitioning", "AdaptiveSparkPlan"])
+    )
+
+    # 4. knn broadcast: window after broadcast join
+    sections.append(
+        grab("knn_join (broadcast + top-k window)", QUERIES["knn_join"](spark, SF),
+             ["BroadcastNestedLoopJoin", "Window", "AdaptiveSparkPlan"])
+    )
+
+    # 5. lineitem_agg: predicate pushdown + partial agg
+    sections.append(
+        grab("lineitem_agg (pushdown + two-phase agg)", QUERIES["lineitem_agg"](spark, SF),
+             ["IsNotNull(l_shipdate)", "HashAggregate"])
+    )
+
+    # 6. style_rules: one codegen'd projection (no shuffle before explode)
+    sections.append(
+        grab("style_rules (compiled rule fold, single projection)",
+             QUERIES["style_rules"](spark, SF), ["explode", "codegen id"])  # no shuffle: plain codegen plan
+    )
+
+    print("# PLANS — physical-plan audit (explain(\"formatted\") evidence)\n")
+    print(f"Scale factor dir: `{SF}`; master local[4]; AQE on.\n")
+    print("Each section lists the plan features the operator MUST have at")
+    print("scale, checked against the actual plan (first lines shown).\n")
+    for s in sections:
+        print(s)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
