@@ -80,3 +80,30 @@ def overlay_sample(
             yield res
 
     return paired.mapInPandas(kernel, "id long, media_ref string, sampled double")
+
+
+def bicubic_sample(pixels: np.ndarray, w: int, h: int, fx: np.ndarray, fy: np.ndarray) -> np.ndarray:
+    """Catmull-Rom bicubic sampling (HGTConverter.java:656-680
+    interpolation family), edge-clamped; falls back to the same values
+    as bilinear on the border ring."""
+    fx = np.clip(np.asarray(fx, dtype=np.float64), 0, w - 1)
+    fy = np.clip(np.asarray(fy, dtype=np.float64), 0, h - 1)
+    p = pixels.reshape(h, w).astype(np.float64)
+    x1 = np.floor(fx).astype(np.int64)
+    y1 = np.floor(fy).astype(np.int64)
+    tx = fx - x1
+    ty = fy - y1
+
+    def cr(pm1, p0, p1, p2, t):
+        # Catmull-Rom cubic (the HGT bicubic kernel)
+        return 0.5 * (
+            (2 * p0)
+            + (-pm1 + p1) * t
+            + (2 * pm1 - 5 * p0 + 4 * p1 - p2) * t * t
+            + (-pm1 + 3 * p0 - 3 * p1 + p2) * t * t * t
+        )
+
+    xs = [np.clip(x1 + d, 0, w - 1) for d in (-1, 0, 1, 2)]
+    ys = [np.clip(y1 + d, 0, h - 1) for d in (-1, 0, 1, 2)]
+    rows = [cr(p[yy, xs[0]], p[yy, xs[1]], p[yy, xs[2]], p[yy, xs[3]], tx) for yy in ys]
+    return cr(rows[0], rows[1], rows[2], rows[3], ty)

@@ -153,3 +153,32 @@ def size_filter(df: DataFrame, min_size: int) -> DataFrame:
     h = F.array_max("lats") - F.array_min("lats")
     w = F.array_max("lons") - F.array_min("lons")
     return df.filter((F.size("lats") <= 1) | (h >= min_size) | (w >= min_size))
+
+
+def smoothing_filter(df: DataFrame, gshift: int) -> DataFrame:
+    """Keep one point per grid cell at low resolution
+    (filters/SmoothingFilter.java:33-61: first point of each run of
+    same-cell points survives; endpoints always kept)."""
+
+    @F.pandas_udf(_PAIR_SCHEMA)
+    def kernel(lats: pd.Series, lons: pd.Series) -> pd.DataFrame:
+        out_la, out_lo = [], []
+        for la, lo in zip(lats, lons):
+            y = np.asarray(la, dtype=np.int64)
+            x = np.asarray(lo, dtype=np.int64)
+            n = len(y)
+            if n <= 2:
+                out_la.append(y.astype(np.int32))
+                out_lo.append(x.astype(np.int32))
+                continue
+            cy, cx = y >> gshift, x >> gshift
+            keep = np.ones(n, dtype=bool)
+            keep[1:] = (cy[1:] != cy[:-1]) | (cx[1:] != cx[:-1])
+            keep[0] = keep[-1] = True
+            out_la.append(y[keep].astype(np.int32))
+            out_lo.append(x[keep].astype(np.int32))
+        return pd.DataFrame({"lats": out_la, "lons": out_lo})
+
+    return df.withColumn("_g", kernel("lats", "lons")).withColumn(
+        "lats", F.col("_g.lats")
+    ).withColumn("lons", F.col("_g.lons")).drop("_g")

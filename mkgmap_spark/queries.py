@@ -825,8 +825,91 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q: MDR-style global index (combiners/MdrBuilder.java — union of every
+#    tile's named features, sorted/deduplicated with a collation key)
+# --------------------------------------------------------------------------
+
+
+def q_mdr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("src")
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    allnames = cust.unionByName(supp)
+    # binary-collation sort key: lowercase, spaces squashed (the
+    # engine's Label.squashSpaces normal form)
+    key = F.regexp_replace(F.lower(F.trim(F.col("name"))), r"\s+", " ")
+    w = Window.orderBy(F.col("sort_key"), F.col("src"))
+    return (
+        allnames.withColumn("sort_key", key)
+        .groupBy("sort_key", "src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("idx", F.row_number().over(w).cast("long"))
+    )
+
+
+Q_MDR_INDEX_SQL = """
+WITH a AS (
+  SELECT c_name AS name, 'customer' AS src FROM customer
+  UNION ALL
+  SELECT s_name AS name, 'supplier' AS src FROM supplier
+), k AS (
+  SELECT regexp_replace(lower(trim(name)), '\\s+', ' ', 'g') AS sort_key, src FROM a
+)
+SELECT sort_key, src, COUNT(*) AS n,
+       CAST(ROW_NUMBER() OVER (ORDER BY sort_key, src) AS BIGINT) AS idx
+FROM k GROUP BY sort_key, src
+"""
+
+
+# --------------------------------------------------------------------------
+# q: POI <-> way linking (--link-pois-to-ways: equi join on a rounded
+#    coordinate key, StyledConverter.filterCoordPOI)
+# --------------------------------------------------------------------------
+
+POI_ROUND = 12  # round coordinates to 2^12 map units
+
+
+def q_poi_way_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = POI_ROUND
+    pois = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("poi_id"),
+        F.shiftright(lat_col("c_custkey"), g).alias("ry"),
+        F.shiftright(lon_col("c_custkey"), g).alias("rx"),
+    )
+    way_pts = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("way_id"),
+        F.shiftright(lat_col("s_suppkey"), g).alias("ry"),
+        F.shiftright(lon_col("s_suppkey"), g).alias("rx"),
+    )
+    return pois.join(way_pts, ["ry", "rx"]).select("poi_id", "way_id", "ry", "rx")
+
+
+Q_POI_WAY_LINK_SQL = f"""
+WITH p AS (
+  SELECT c_custkey AS poi_id,
+         CAST(floor({lat_sql('c_custkey')} / {1 << POI_ROUND}.0) AS BIGINT) AS ry,
+         CAST(floor({lon_sql('c_custkey')} / {1 << POI_ROUND}.0) AS BIGINT) AS rx
+  FROM customer
+), w AS (
+  SELECT s_suppkey AS way_id,
+         CAST(floor({lat_sql('s_suppkey')} / {1 << POI_ROUND}.0) AS BIGINT) AS ry,
+         CAST(floor({lon_sql('s_suppkey')} / {1 << POI_ROUND}.0) AS BIGINT) AS rx
+  FROM supplier
+)
+SELECT poi_id, way_id, p.ry, p.rx FROM p JOIN w USING (ry, rx)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "style_rules": q_style_rules,
+    "mdr_index": q_mdr_index,
+    "poi_way_link": q_poi_way_link,
     "knn_cells": q_knn_cells,
     "pip_polygon": q_pip_polygon,
     "segment_join": q_segment_join,
@@ -853,6 +936,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "style_rules": Q_STYLE_RULES_SQL,
+    "mdr_index": Q_MDR_INDEX_SQL,
+    "poi_way_link": Q_POI_WAY_LINK_SQL,
     "knn_cells": Q_KNN_SQL,
     "pip_polygon": Q_PIP_POLYGON_SQL,
     "segment_join": Q_SEGMENT_JOIN_SQL,

@@ -249,3 +249,48 @@ def test_raster_overlay_and_multimodal(spark, documents_df, fixture_dir):
     assert len(out) > 0
     vals = [r["sampled"] for r in out]
     assert all(0 <= v <= 267 for v in vals)  # gradient 0..250 + noise 0..16
+
+
+def test_smoothing_filter(spark):
+    from mkgmap_spark.operators.simplify import smoothing_filter
+
+    df = spark.createDataFrame(
+        [(1, [0, 1, 2, 40, 41, 80], [0, 1, 2, 40, 41, 80])],
+        "id long, lats array<int>, lons array<int>",
+    )
+    r = smoothing_filter(df, gshift=5).collect()[0]  # cells of 32
+    assert r["lats"] == [0, 40, 80]
+
+
+def test_bicubic_sample():
+    import numpy as np
+
+    from mkgmap_spark.operators.raster import bicubic_sample, bilinear_sample
+
+    # a linear gradient is reproduced exactly by both kernels
+    h, w = 8, 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = (3.0 * xx + 2.0 * yy).ravel()
+    fx = np.array([2.5, 3.25, 0.0])
+    fy = np.array([1.5, 4.75, 0.0])
+    bc = bicubic_sample(grad, w, h, fx, fy)
+    bl = bilinear_sample(grad, w, h, fx, fy)
+    assert np.allclose(bc, 3 * fx + 2 * fy)
+    assert np.allclose(bc, bl)
+
+
+def test_propagate_labels(spark):
+    from mkgmap_spark.operators.propagate import propagate_labels
+
+    # chain: A(labeled) - B - C - D; E isolated
+    rows = [
+        (1, [0, 10], [0, 10], "CITY"),
+        (2, [10, 20], [10, 20], None),
+        (3, [20, 30], [20, 30], None),
+        (4, [30, 40], [30, 40], None),
+        (5, [99, 98], [99, 98], None),
+    ]
+    df = spark.createDataFrame(rows, "id long, lats array<int>, lons array<int>, destination string")
+    got = {r["id"]: r["destination"] for r in propagate_labels(df, max_depth=3).collect()}
+    assert got[2] == "CITY" and got[3] == "CITY" and got[4] == "CITY"
+    assert got[5] is None
