@@ -294,3 +294,25 @@ def test_propagate_labels(spark):
     got = {r["id"]: r["destination"] for r in propagate_labels(df, max_depth=3).collect()}
     assert got[2] == "CITY" and got[3] == "CITY" and got[4] == "CITY"
     assert got[5] is None
+
+
+def test_coastline_assembly(spark):
+    from mkgmap_spark.operators.sea import assemble_coastlines, coastline_components
+
+    # square coast from 4 ways with ~30-unit gaps at the joints
+    # (closed by endpoint snapping at 2^6); plus a separate open arc
+    rows = [
+        (1, [0, 0], [0, 1000]),
+        (2, [0 + 20, 1000], [1000 + 15, 1000]),      # snaps to (0,1000)
+        (3, [1000, 1000], [1000, 0]),
+        (4, [1000 - 25, 10], [0, 0 + 30]),           # snaps both ends
+        (9, [50000, 60000], [50000, 60000]),
+    ]
+    ways = spark.createDataFrame(rows, "id long, lats array<int>, lons array<int>")
+    comp = {r["id"]: r["component"] for r in coastline_components(ways, snap_shift=6).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[9] == 9
+
+    out = {r["component"]: r for r in assemble_coastlines(ways, snap_shift=6).collect()}
+    assert out[1]["n_ways"] == 4 and out[1]["closed"]
+    assert out[9]["n_ways"] == 1 and not out[9]["closed"]
