@@ -34,8 +34,43 @@ def _tag(tags: Column, key: str) -> Column:
     return tags.getItem(key)
 
 
+_EARTH_R = 6378137.0
+_MU = 2.0 * 3.141592653589793 / (1 << 24)
+
+
+def _fn_numeric(key: str) -> Column:
+    """Style functions over the feature's packed geometry columns
+    (LengthFunction.java:48-62 equirectangular sum; requires the input
+    DataFrame to carry lats/lons arrays)."""
+    if key == "fn:length":
+        return F.when(
+            F.size("lats") >= 2,
+            F.expr(
+                f"aggregate(sequence(1, size(lats) - 1), 0D, (acc, i) -> acc + "
+                f"{_EARTH_R!r} * sqrt(pow((lats[i] - lats[i - 1]) * {_MU!r}, 2) + "
+                f"pow((lons[i] - lons[i - 1]) * {_MU!r} * "
+                f"cos((cast(lats[i - 1] as double) * {_MU!r} + cast(lats[i] as double) * {_MU!r}) / 2), 2)))"
+            ),
+        ).otherwise(F.lit(0.0))
+    raise ValueError(f"unsupported numeric style function {key!r}")
+
+
 def compile_pred(pred, tags: Column) -> Column:
     if isinstance(pred, Cond):
+        if pred.key.startswith("fn:"):
+            if pred.key == "fn:is_closed":
+                closed = (F.size("lats") >= 3) & F.expr(
+                    "lats[0] = lats[size(lats) - 1] and lons[0] = lons[size(lons) - 1]"
+                )
+                want = F.lit(pred.value) == F.lit("true")
+                if pred.op == "=":
+                    return closed == want
+                if pred.op == "!=":
+                    return closed != want
+                raise ValueError("is_closed() supports = / != only")
+            num = _fn_numeric(pred.key)
+            lit = F.lit(float(pred.value))
+            return {"<": num < lit, "<=": num <= lit, ">": num > lit, ">=": num >= lit}[pred.op]
         v = _tag(tags, pred.key)
         if pred.op == "exists":
             return v.isNotNull()

@@ -25,9 +25,34 @@ def _num(v: str | None):
         return None
 
 
-def eval_pred(pred, tags: dict[str, str]) -> bool:
+EARTH_R = 6378137.0
+_MU = 2.0 * 3.141592653589793 / (1 << 24)
+
+
+def _geom_value(key: str, geom: dict | None):
+    """Style-function values (LengthFunction.java:48-62 equirect sum;
+    IsClosedFunction).  Returns a string like tag values do."""
+    if geom is None:
+        return None
+    la, lo = geom.get("lats") or [], geom.get("lons") or []
+    if key == "fn:is_closed":
+        closed = len(la) >= 3 and la[0] == la[-1] and lo[0] == lo[-1]
+        return "true" if closed else "false"
+    if key == "fn:length":
+        import math
+
+        total = 0.0
+        for i in range(1, len(la)):
+            y1, y2 = la[i - 1] * _MU, la[i] * _MU
+            dx = (lo[i] - lo[i - 1]) * _MU * math.cos((y1 + y2) / 2.0)
+            total += EARTH_R * math.sqrt((y2 - y1) ** 2 + dx * dx)
+        return repr(total)
+    return None
+
+
+def eval_pred(pred, tags: dict[str, str], geom: dict | None = None) -> bool:
     if isinstance(pred, Cond):
-        v = tags.get(pred.key)
+        v = _geom_value(pred.key, geom) if pred.key.startswith("fn:") else tags.get(pred.key)
         if pred.op == "exists":
             return v is not None
         if pred.op == "not_exists":
@@ -44,11 +69,11 @@ def eval_pred(pred, tags: dict[str, str]) -> bool:
             return False
         return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[pred.op]
     if isinstance(pred, Not):
-        return not eval_pred(pred.child, tags)
+        return not eval_pred(pred.child, tags, geom)
     if isinstance(pred, And):
-        return eval_pred(pred.left, tags) and eval_pred(pred.right, tags)
+        return eval_pred(pred.left, tags, geom) and eval_pred(pred.right, tags, geom)
     if isinstance(pred, Or):
-        return eval_pred(pred.left, tags) or eval_pred(pred.right, tags)
+        return eval_pred(pred.left, tags, geom) or eval_pred(pred.right, tags, geom)
     raise TypeError(type(pred))
 
 
@@ -87,7 +112,7 @@ def apply_actions(actions: list[Action], tags: dict[str, str]) -> dict[str, str]
     return t
 
 
-def interpret(rules: list[Rule], tags: dict[str, str]) -> tuple[list[GType], dict[str, str]]:
+def interpret(rules: list[Rule], tags: dict[str, str], geom: dict | None = None) -> tuple[list[GType], dict[str, str]]:
     """Run the ordered rule list over one element's tags.
 
     Returns (emitted gtypes in order, final persistent tag state).
@@ -98,7 +123,7 @@ def interpret(rules: list[Rule], tags: dict[str, str]) -> tuple[list[GType], dic
     cur = dict(tags)
     out: list[GType] = []
     for r in rules:
-        if not eval_pred(r.pred, cur):
+        if not eval_pred(r.pred, cur, geom):
             continue
         acted = apply_actions(r.actions, cur) if r.actions else cur
         if r.gtype is None:

@@ -13,10 +13,15 @@ Grammar subset (documented against the reference):
 - type def: ``[0xNN resolution A-B [level A-B] [continue
   [with_actions]]]`` (TypeReader.java:68-110)
 
+- style function atoms: ``length()`` (equirectangular way length in
+  metres, LengthFunction.java:48-62) and ``is_closed()``
+  (IsClosedFunction) usable as predicate keys
+
 Out of scope this round (tracked in SURVEY §2.2): unit-suffix numeric
-values, style functions (length() etc.), apply/apply_once to relation
-members, include/overlay, finalize sections, the full filter set in
-``${tag|filter:...}``.
+values, the remaining style functions (area_size(), maxspeedkmh()...),
+apply/apply_once inside action blocks (the standalone operator exists,
+operators/relations.apply_to_members), include/overlay, finalize
+sections, the full filter set in ``${tag|filter:...}``.
 """
 
 from __future__ import annotations
@@ -151,6 +156,12 @@ class _P:
             self.expect(")")
             return e
         key = _unquote(self.next())
+        if self.peek() == "(":
+            # style function atom: length() / is_closed()
+            # (osmstyle/function/FunctionFactory.java:30-51)
+            self.expect("(")
+            self.expect(")")
+            key = f"fn:{key}"
         op = self.next()
         if op == "=*":
             return Cond("exists", key)

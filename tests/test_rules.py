@@ -192,3 +192,34 @@ def test_differential_random(spark):
             types, out_tags = interpret(rules, tags)
             assert got[i][0] == [g.type_code for g in types], (round_i, i, tags)
             assert got[i][1] == out_tags, (round_i, i, tags)
+
+
+def test_style_functions_length_is_closed(spark):
+    """length() and is_closed() atoms: compiled vs interpreter over
+    geometry-bearing rows (thresholds chosen away from float
+    boundaries so JVM/libm ulp differences cannot flip results)."""
+    src = """
+    is_closed()=true [0x20]
+    length()>50000 [0x21]
+    highway=* [0x22]
+    """
+    rules = parse_rules(src)
+    rows = [
+        # closed triangle
+        (1, {"highway": "x"}, [0, 0, 500, 0], [0, 500, 500, 0]),
+        # long open way (~0.5 deg of longitude at equator ~ 55 km)
+        (2, {"highway": "x"}, [0, 0], [0, 23301]),
+        # short open way
+        (3, {"highway": "x"}, [0, 10], [0, 10]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, tags map<string,string>, lats array<int>, lons array<int>"
+    )
+    out = {r["id"]: [x["type_code"] for x in r["results"]] for r in compile_rules(rules, df).collect()}
+    assert out == {1: [0x20], 2: [0x21], 3: [0x22]}
+
+    from mkgmap_spark.rules.interpreter import interpret as interp
+
+    for rid, tags, la, lo in rows:
+        types, _ = interp(rules, tags, geom={"lats": la, "lons": lo})
+        assert [g.type_code for g in types] == out[rid], rid
