@@ -85,10 +85,11 @@ def main() -> None:
         f.write(
             f"""# BENCH — scaling-efficiency evidence (north rule)
 
-Protocol (BASELINE.md): identical flagship job (documents parquet ->
-decode -> quadtree split -> tile assignment -> parquet sinks), same
-seeded input ({args.n_docs:,} interleaved documents, seed 42, skewed
-hot-spots), fresh JVM per run, `local[{small}]` vs `local[{large}]`.
+Protocol (BASELINE.md): identical full flagship pipeline (decode ->
+doc features -> PIP location join -> quadtree split -> assignment ->
+sinks), same seeded input ({args.n_docs:,} interleaved documents, seed
+42, skewed hot-spots), fresh warmed JVM per run, `local[{small}]` vs
+`local[{large}]`, interleaved A/B runs.
 
 | metric | local[{small}] | local[{large}] |
 |---|---|---|
@@ -96,6 +97,8 @@ hot-spots), fresh JVM per run, `local[{small}]` vs `local[{large}]`.
 | docs/sec | {r_small['docs_per_sec']} | {r_large['docs_per_sec']} |
 | tiles/sec | {r_small['tiles_per_sec']} | {r_large['tiles_per_sec']} |
 | decode+prepare (s) | {r_small['t_decode_s']} | {r_large['t_decode_s']} |
+| doc features (s) | {r_small.get('t_docfeat_s', '-')} | {r_large.get('t_docfeat_s', '-')} |
+| PIP location join (s) | {r_small.get('t_pip_s', '-')} | {r_large.get('t_pip_s', '-')} |
 | histogram+quadtree (s) | {r_small['t_split_s']} | {r_large['t_split_s']} |
 | assign+write (s) | {r_small['t_assign_write_s']} | {r_large['t_assign_write_s']} |
 | tiles | {r_small['n_tiles']} | {r_large['n_tiles']} |
