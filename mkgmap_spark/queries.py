@@ -906,10 +906,67 @@ SELECT poi_id, way_id, p.ry, p.rx FROM p JOIN w USING (ry, rx)
 """
 
 
+# --------------------------------------------------------------------------
+# q: access bitmask derivation (AccessTagsAndBits.java:27-44)
+# --------------------------------------------------------------------------
+
+
+def q_access_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.access import access_mask_col
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    acc = F.element_at(
+        F.array(F.lit("yes"), F.lit("no"), F.lit("private"), F.lit("designated")),
+        (F.pmod(k, F.lit(4)) + 1).cast("int"),
+    )
+    foot = F.element_at(
+        F.array(F.lit("yes"), F.lit("no"), F.lit("__none__")),
+        (F.pmod(k, F.lit(3)) + 1).cast("int"),
+    )
+    oneway = F.element_at(
+        F.array(F.lit("yes"), F.lit("__none__")), (F.pmod(k, F.lit(2)) + 1).cast("int")
+    )
+    tags = F.map_filter(
+        F.create_map(
+            F.lit("access"), acc, F.lit("foot"), foot, F.lit("oneway"), oneway
+        ),
+        lambda key, v: v != F.lit("__none__"),
+    )
+    return part.select("p_partkey", access_mask_col(tags).alias("access_mask"))
+
+
+# hand-derived oracle: vehicles all follow blanket `access` except foot
+# which has its own tag when k%3 != 2; oneway bit when k%2 == 0
+Q_ACCESS_MASK_SQL = """
+WITH t AS (
+  SELECT p_partkey,
+         (['yes','no','private','designated'])[(p_partkey % 4) + 1] AS acc,
+         (['yes','no','__none__'])[(p_partkey % 3) + 1] AS foot,
+         (p_partkey % 2) = 0 AS ow
+  FROM part
+), bits AS (
+  SELECT p_partkey,
+         CASE WHEN foot <> '__none__'
+              THEN CASE WHEN foot IN ('no','private','false','0') THEN 0 ELSE 1 END
+              ELSE CASE WHEN acc IN ('no','private','false','0') THEN 0 ELSE 1 END END AS foot_bit,
+         CASE WHEN acc IN ('no','private','false','0') THEN 0 ELSE 1 END AS veh_bit,
+         CASE WHEN ow THEN 1 ELSE 0 END AS ow_bit
+  FROM t
+)
+SELECT p_partkey,
+       CAST(foot_bit
+            + veh_bit * (2 + 4 + 8 + 16 + 32 + 64 + 128)
+            + ow_bit * 256 AS BIGINT) AS access_mask
+FROM bits
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "style_rules": q_style_rules,
     "mdr_index": q_mdr_index,
     "poi_way_link": q_poi_way_link,
+    "access_mask": q_access_mask,
     "knn_cells": q_knn_cells,
     "pip_polygon": q_pip_polygon,
     "segment_join": q_segment_join,
@@ -938,6 +995,7 @@ ORACLES: dict[str, str] = {
     "style_rules": Q_STYLE_RULES_SQL,
     "mdr_index": Q_MDR_INDEX_SQL,
     "poi_way_link": Q_POI_WAY_LINK_SQL,
+    "access_mask": Q_ACCESS_MASK_SQL,
     "knn_cells": Q_KNN_SQL,
     "pip_polygon": Q_PIP_POLYGON_SQL,
     "segment_join": Q_SEGMENT_JOIN_SQL,
