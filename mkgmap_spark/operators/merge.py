@@ -101,3 +101,80 @@ def merge_lines(
         return pd.DataFrame(rows, columns=list(key_cols) + ["chain_id", "member_ids", "n_members", "total_points"])
 
     return prepared.groupBy(*key_cols).applyInPandas(kernel, out_schema)
+
+
+def merge_shapes(
+    shapes: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+) -> DataFrame:
+    """Dissolve adjacent polygons of the same key into merged rings.
+
+    ShapeMergeFilter semantics (filters/ShapeMergeFilter.java:56-93):
+    shapes of one type sharing geometry merge.  Kernel: within a key
+    group, directed boundary edges that cancel pairwise (a->b with
+    b->a from the neighbouring shape) are interior seams and are
+    removed; the surviving edges stitch into the dissolved outline(s).
+    Signed area is conserved: sum(area2 of inputs) == sum(area2 of
+    output rings) — the invariant the tests assert.
+
+    Input rings must share orientation (normalize with
+    Way.clockwise/shoelace first).  Output: key cols + ring_idx +
+    n_points + area2 + member_ids.
+    """
+    prepared = shapes.select(*key_cols, F.col(id_col).alias("id"), "lats", "lons")
+
+    out_schema = (
+        ", ".join(f"{c} string" for c in key_cols)
+        + ", ring_idx int, n_points int, area2 long, member_ids array<bigint>"
+    )
+
+    def kernel(key, pdf):
+        from collections import defaultdict
+
+        edges = defaultdict(int)
+        ids = sorted(int(i) for i in pdf["id"])
+        for r in pdf.itertuples():
+            la = list(r.lats)
+            lo = list(r.lons)
+            if la[0] == la[-1] and lo[0] == lo[-1]:
+                la, lo = la[:-1], lo[:-1]
+            n = len(la)
+            for i in range(n):
+                a = (la[i], lo[i])
+                b = (la[(i + 1) % n], lo[(i + 1) % n])
+                if edges[(b, a)] > 0:
+                    edges[(b, a)] -= 1  # interior seam cancels
+                else:
+                    edges[(a, b)] += 1
+        succ = defaultdict(list)
+        for (a, b), cnt in edges.items():
+            for _ in range(cnt):
+                succ[a].append(b)
+        for a in succ:
+            succ[a].sort()
+        rings = []
+        starts = sorted(succ.keys())
+        used_from = defaultdict(int)
+        for s0 in starts:
+            while used_from[s0] < len(succ[s0]):
+                ring = [s0]
+                cur = succ[s0][used_from[s0]]
+                used_from[s0] += 1
+                while cur != s0:
+                    ring.append(cur)
+                    nxt = succ[cur][used_from[cur]]
+                    used_from[cur] += 1
+                    cur = nxt
+                rings.append(ring)
+        rows = []
+        for idx, ring in enumerate(sorted(rings, key=lambda r: (min(r), len(r)))):
+            ys = np.array([p[0] for p in ring], dtype=np.int64)
+            xs = np.array([p[1] for p in ring], dtype=np.int64)
+            a2 = int(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
+            rows.append(list(key) + [idx, len(ring), a2, ids])
+        return pd.DataFrame(
+            rows, columns=list(key_cols) + ["ring_idx", "n_points", "area2", "member_ids"]
+        )
+
+    return prepared.groupBy(*key_cols).applyInPandas(kernel, out_schema)

@@ -316,3 +316,33 @@ def test_coastline_assembly(spark):
     out = {r["component"]: r for r in assemble_coastlines(ways, snap_shift=6).collect()}
     assert out[1]["n_ways"] == 4 and out[1]["closed"]
     assert out[9]["n_ways"] == 1 and not out[9]["closed"]
+
+
+def test_merge_shapes_dissolve(spark):
+    from mkgmap_spark.operators.merge import merge_shapes
+    from mkgmap_spark.functions.geometry import shoelace2
+    import numpy as np
+
+    # two adjacent CCW unit squares sharing edge x=10 -> one rectangle
+    sq1 = ([0, 0, 10, 10], [0, 10, 10, 0])
+    sq2 = ([0, 0, 10, 10], [10, 20, 20, 10])
+    far = ([100, 100, 110, 110], [100, 110, 110, 100])
+    rows = [
+        (1, "a", sq1[0], sq1[1]),
+        (2, "a", sq2[0], sq2[1]),
+        (3, "a", far[0], far[1]),
+        (4, "b", sq2[0], sq2[1]),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, lats array<int>, lons array<int>")
+    out = merge_shapes(df, ["grp"]).collect()
+    a_rings = [r for r in out if r["grp"] == "a"]
+    b_rings = [r for r in out if r["grp"] == "b"]
+    assert len(a_rings) == 2  # dissolved rectangle + the far square
+    assert len(b_rings) == 1
+    # area conservation: 100 + 100 + 100 for group a (x2 signed)
+    in_area = sum(
+        shoelace2(np.array(r[2]), np.array(r[3])) for r in rows if r[1] == "a"
+    )
+    assert sum(r["area2"] for r in a_rings) == in_area
+    # the dissolved ring has 6 points (seam corners kept as vertices)
+    assert sorted(r["n_points"] for r in a_rings) == [4, 6]
