@@ -144,6 +144,9 @@ def compile_rules(rules: list[Rule], df: DataFrame, tags_col: str = "tags") -> D
     persistent tag state).  The fold materializes each rule's state via
     withColumn so Catalyst can pipeline them in one projection.
     """
+    main = [r for r in rules if not getattr(r, "finalize", False)]
+    fin = [r for r in rules if getattr(r, "finalize", False)]
+
     tags = F.col(tags_col)
     df = (
         df.withColumn("_tags_s", tags)
@@ -151,7 +154,7 @@ def compile_rules(rules: list[Rule], df: DataFrame, tags_col: str = "tags") -> D
         .withColumn("_done", F.lit(False))
     )
 
-    for idx, r in enumerate(rules):
+    for idx, r in enumerate(main):
         tags = F.col("_tags_s")
         match = compile_pred(r.pred, tags) & ~F.col("_done")
         acted = apply_actions_col(r.actions, tags) if r.actions else tags
@@ -174,5 +177,14 @@ def compile_rules(rules: list[Rule], df: DataFrame, tags_col: str = "tags") -> D
             df = df.withColumn("_tags_s", F.when(match, acted).otherwise(tags))
         if not r.cont:
             df = df.withColumn("_done", F.col("_done") | match)
+
+    # finalize section: actions-only rules applied once to elements
+    # that emitted at least one type (RuleFileReader.java:380-439)
+    matched = F.size("results") > 0
+    for r in fin:
+        tags = F.col("_tags_s")
+        m = matched & compile_pred(r.pred, tags)
+        acted = apply_actions_col(r.actions, tags) if r.actions else tags
+        df = df.withColumn("_tags_s", F.when(m, acted).otherwise(tags))
 
     return df.withColumnRenamed("_tags_s", "tags_out").drop("_done")

@@ -120,9 +120,21 @@ def interpret(rules: list[Rule], tags: dict[str, str], geom: dict | None = None)
     persists the actions for later rules, plain `continue` does not
     (RuleSet.resolveType + ActionRule semantics).
     """
+    main = [r for r in rules if not getattr(r, "finalize", False)]
+    fin = [r for r in rules if getattr(r, "finalize", False)]
+
     cur = dict(tags)
     out: list[GType] = []
-    for r in rules:
+
+    def run_finalize(t):
+        # finalize rules run once per matched element, actions only
+        # (RuleFileReader.java:380-439; RuleSet.java:101-105)
+        for fr in fin:
+            if eval_pred(fr.pred, t, geom):
+                t = apply_actions(fr.actions, t)
+        return t
+
+    for r in main:
         if not eval_pred(r.pred, cur, geom):
             continue
         acted = apply_actions(r.actions, cur) if r.actions else cur
@@ -133,6 +145,10 @@ def interpret(rules: list[Rule], tags: dict[str, str], geom: dict | None = None)
         out.append(r.gtype)
         if not r.cont:
             cur = acted
+            if out:
+                cur = run_finalize(cur)
             return out, cur
         cur = acted if r.with_actions else cur
+    if out:
+        cur = run_finalize(cur)
     return out, cur

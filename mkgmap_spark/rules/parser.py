@@ -76,6 +76,7 @@ class Rule:
     gtype: GType | None = None
     cont: bool = False
     with_actions: bool = False
+    finalize: bool = False
 
 
 # ------------------------------------------------------------- tokenizer
@@ -233,11 +234,29 @@ def parse_rule(src: str) -> Rule:
 
 
 def parse_rules(src: str) -> list[Rule]:
-    """Parse a rule file: one rule per (logical) line; '#' comments."""
+    """Parse a rule file: one rule per (logical) line; '#' comments.
+    Rules after a ``<finalize>`` marker line form the finalize section
+    (RuleFileReader.java:380-439) and are flagged ``finalize=True``."""
     rules = []
+    in_finalize = False
     for line in src.splitlines():
         line = line.split("#", 1)[0].strip()
         if not line:
             continue
-        rules.append(parse_rule(line))
+        if line == "<finalize>":
+            in_finalize = True
+            continue
+        r = parse_rule(line)
+        r.finalize = in_finalize
+        rules.append(r)
     return rules
+
+
+def parse_rule_files(sources: list[str]) -> list[Rule]:
+    """Include/overlay merge: later files append at lower priority
+    (RuleSet.merge:154-173 — simple concatenation in declaration
+    order)."""
+    out: list[Rule] = []
+    for src in sources:
+        out.extend(parse_rules(src))
+    return out

@@ -223,3 +223,34 @@ def test_style_functions_length_is_closed(spark):
     for rid, tags, la, lo in rows:
         types, _ = interp(rules, tags, geom={"lats": la, "lons": lo})
         assert [g.type_code for g in types] == out[rid], rid
+
+
+def test_finalize_section_and_include(spark):
+    """finalize rules run once, actions-only, on matched elements;
+    parse_rule_files concatenates included rulesets at lower priority."""
+    from mkgmap_spark.rules.parser import parse_rule_files
+
+    src_main = """
+    highway=primary [0x01]
+    <finalize>
+    highway=* { set done=yes }
+    """
+    rules = parse_rules(src_main)
+    # matched element gets the finalize action
+    types, tags = interpret(rules, {"highway": "primary"})
+    assert [g.type_code for g in types] == [1] and tags.get("done") == "yes"
+    # unmatched element does not
+    types2, tags2 = interpret(rules, {"waterway": "river"})
+    assert types2 == [] and "done" not in tags2
+
+    df = spark.createDataFrame(
+        [(1, {"highway": "primary"}), (2, {"waterway": "river"})],
+        "id long, tags map<string,string>",
+    )
+    out = {r["id"]: (len(r["results"]), dict(r["tags_out"])) for r in compile_rules(rules, df).collect()}
+    assert out[1][0] == 1 and out[1][1].get("done") == "yes"
+    assert out[2][0] == 0 and "done" not in out[2][1]
+
+    merged = parse_rule_files(["highway=primary [0x01]", "highway=* [0x02]"])
+    types3, _ = interpret(merged, {"highway": "track"})
+    assert [g.type_code for g in types3] == [2]
