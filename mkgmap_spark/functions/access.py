@@ -14,16 +14,18 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# bit positions (AccessTagsAndBits order)
+# bit positions (AccessTagsAndBits.java:27-35: FOOT=0x01, BIKE=0x02,
+# CAR=0x04, DELIVERY=0x08, TRUCK=0x10, BUS=0x20, TAXI=0x40,
+# EMERGENCY=0x80)
 ACCESS_BITS = {
     "foot": 0,
     "bicycle": 1,
     "car": 2,
-    "truck": 3,
-    "bus": 4,
-    "taxi": 5,
-    "emergency": 6,
-    "delivery": 7,
+    "delivery": 3,
+    "truck": 4,
+    "bus": 5,
+    "taxi": 6,
+    "emergency": 7,
 }
 FLAG_BITS = {"oneway": 8, "toll": 9, "roundabout": 10}
 

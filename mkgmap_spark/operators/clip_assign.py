@@ -111,10 +111,18 @@ def assign_ways_with_split(
     )
     raw = raw.persist()
 
-    # private tiles: deterministic — ordered by feature id, appended
-    priv = raw.filter(F.col("_priv"))
-    priv_rows = (
-        priv.join(ways.select("id", "lats", "lons"), "id")
+    # private tiles: deterministic ids — rank by feature id, appended
+    # after the shared tiles.  The id->tile mapping stays distributed
+    # (window rank + join); only the per-tile BOUNDS come to the driver
+    # to extend the tile list — the same bound the reference holds for
+    # its area list (MapArea.java) — never the feature rows themselves,
+    # and never a plan-literal map that grows with data.
+    from pyspark.sql import Window
+
+    base_tid = len(tiles)
+    priv_assign = (
+        raw.filter(F.col("_priv"))
+        .join(ways.select("id", "lats", "lons"), "id")
         .select(
             "id",
             F.array_min("lats").alias("y0"),
@@ -122,22 +130,21 @@ def assign_ways_with_split(
             (F.array_max("lats") + 1).alias("y1"),
             (F.array_max("lons") + 1).alias("x1"),
         )
-        .orderBy("id")
-        .collect()
+        .withColumn(
+            "_ptid",
+            (F.row_number().over(Window.orderBy("id")) - 1 + base_tid).cast("long"),
+        )
+        .persist()
     )
+
     tiles_out = list(tiles)
-    priv_map = {}
-    for r in priv_rows:
-        tid = len(tiles_out)
-        priv_map[r["id"]] = tid
+    for r in priv_assign.select("_ptid", "y0", "x0", "y1", "x1").orderBy("_ptid").collect():
         tiles_out.append(
-            Tile(tid, level, r["y0"], r["x0"], r["y1"], r["x1"], 1, 0, 1, 0, 0, -1)
+            Tile(r["_ptid"], level, r["y0"], r["x0"], r["y1"], r["x1"], 1, 0, 1, 0, 0, -1)
         )
 
-    if priv_map:
-        pm = F.create_map(*[F.lit(v) for kv in priv_map.items() for v in kv])
-        raw = raw.withColumn(
-            "tile_id", F.when(F.col("_priv"), pm[F.col("id")]).otherwise(F.col("tile_id"))
-        )
-    members = raw.select("id", F.lit(level).alias("level"), "tile_id", "part")
+    resolved = raw.join(priv_assign.select("id", "_ptid"), "id", "left").withColumn(
+        "tile_id", F.when(F.col("_priv"), F.col("_ptid")).otherwise(F.col("tile_id"))
+    )
+    members = resolved.select("id", F.lit(level).alias("level"), "tile_id", "part")
     return tiles_out, members

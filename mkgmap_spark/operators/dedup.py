@@ -54,13 +54,18 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def minhash_signature_col(shingles_expr: str, n_hashes: int = 64) -> F.Column:
     """Column form: array of n_hashes int64 minhashes over a shingles
-    array expression.  Permutation i reuses xxhash64(shingle, seed=i);
-    the per-seed min is an F.aggregate fold (no UDF)."""
+    array expression.
+
+    Each shingle string is hashed ONCE (one full xxhash64 pass over the
+    bytes); permutation i then re-mixes the prehashed 8-byte long with
+    xxhash64(h, seed=i) — O(1) per permutation instead of re-hashing
+    the whole string 64 times (same prehash-once trick as simhash)."""
+    pre = f"transform({shingles_expr}, s -> xxhash64(s))"
     return F.array(
         *[
             F.expr(
-                f"aggregate(transform({shingles_expr}, s -> xxhash64(s, {i})),"
-                f" cast(9223372036854775807 as bigint), (acc, v) -> least(acc, v))"
+                f"aggregate({pre}, cast(9223372036854775807 as bigint),"
+                f" (acc, v) -> least(acc, xxhash64(v, {i})))"
             )
             for i in range(n_hashes)
         ]
@@ -74,10 +79,23 @@ def minhash_signatures(
     shingle_k: int = 3,
     n_hashes: int = 64,
 ) -> DataFrame:
-    """doc -> array of n_hashes int64 minhashes, all JVM-side."""
+    """doc -> array of n_hashes int64 minhashes, all JVM-side.
+    The prehash array is materialized once per row so the 64
+    permutation folds share it (no re-tokenization per permutation)."""
     sh = _shingles_col(text_col, shingle_k)
-    d = docs.select(F.col(id_col).alias("doc_id"), sh.alias("_sh"))
-    return d.select("doc_id", minhash_signature_col("_sh", n_hashes).alias("signature"))
+    d = docs.select(F.col(id_col).alias("doc_id"), sh.alias("_sh")).withColumn(
+        "_pre", F.expr("transform(_sh, s -> xxhash64(s))")
+    )
+    sig = F.array(
+        *[
+            F.expr(
+                f"aggregate(_pre, cast(9223372036854775807 as bigint),"
+                f" (acc, v) -> least(acc, xxhash64(v, {i})))"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return d.select("doc_id", sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -168,14 +186,30 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_near_dups(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance via 4-band bucketing
-    (a pair within distance 3 shares at least one of 4 16-bit bands).
-    Output: (doc_a, doc_b, hamming)."""
+    """Near-dup pairs by Hamming distance via band bucketing.
+
+    Pigeonhole: a pair within distance d differs in at most d bands, so
+    with ``bands = d + 1`` bands at least one band is identical — the
+    band count is derived from ``max_hamming`` (recall would silently
+    drop for d >= bands otherwise).  Output: (doc_a, doc_b, hamming)."""
+    bands = max_hamming + 1
+    if bands > 64:
+        raise ValueError("max_hamming must be <= 63")
+    width = 64 // bands
+    cuts = [b * width for b in range(bands)]
+    widths = [width] * (bands - 1) + [64 - cuts[-1]]  # last band takes the remainder
     banded = fps.select(
         "doc_id",
         "simhash",
         F.posexplode(
-            F.array(*[F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF).cast("long")).alias(f"b{b}") for b in range(4)])
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), cuts[b]).bitwiseAND(
+                        F.lit(-1 if widths[b] >= 64 else (1 << widths[b]) - 1).cast("long")
+                    )
+                    for b in range(bands)
+                ]
+            )
         ).alias("band", "bucket"),
     )
     a, b = banded.alias("a"), banded.alias("b")

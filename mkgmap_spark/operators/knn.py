@@ -89,6 +89,28 @@ def knn_join_cells(
     ly, lx = left_coords
     ry, rx = right_coords
 
+    # degenerate right side: fewer than k rows can never certify
+    # (_n >= k is unreachable) — the exact answer is the full top-k,
+    # which the broadcast strategy computes in one pass
+    ext = right.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(ry).alias("y0"), F.max(ry).alias("y1"),
+        F.min(rx).alias("x0"), F.max(rx).alias("x1"),
+    ).collect()[0]
+    if ext["n"] is None or ext["n"] < k:
+        return knn_join_broadcast(left, right, k, left_id, right_id, left_coords, right_coords)
+    lext = left.agg(
+        F.min(ly).alias("y0"), F.max(ly).alias("y1"),
+        F.min(lx).alias("x0"), F.max(lx).alias("x1"),
+    ).collect()[0]
+    # once the rings cover the combined left+right extent, `best` holds
+    # the exact top-k for every remaining left row — stop expanding
+    span = max(
+        max(int(ext["y1"]), int(lext["y1"])) - min(int(ext["y0"]), int(lext["y0"])),
+        max(int(ext["x1"]), int(lext["x1"])) - min(int(ext["x0"]), int(lext["x0"])),
+    )
+    max_rings = min(max_rings, span // cell_size + 2)
+
     r_cells = right.select(
         F.col(right_id),
         F.col(ry),
@@ -146,6 +168,7 @@ def knn_join_cells(
             F.col(right_id),
             _dist2(F.col(ly), F.col(lx), F.col(ry), F.col(rx)).alias("dist2"),
         )
+        prev_best, prev_pending = best, pending
         best = cand if best is None else best.unionByName(cand)
         w = Window.partitionBy(left_id).orderBy("dist2", right_id)
         best = (
@@ -160,10 +183,19 @@ def knn_join_cells(
         )
         done_ids = stats.filter((F.col("_n") >= k) & (F.col("_kth") <= F.lit(cert_radius2)))
         done = best.join(done_ids.select(left_id), left_id, "left_semi")
-        results.append(done.select(left_id, right_id, "dist2"))
+        # materialize this round's finished rows so the superseded
+        # caches can be dropped without recompute next round
+        results.append(done.select(left_id, right_id, "dist2").localCheckpoint(eager=True))
         pending = pending.join(done_ids.select(left_id), left_id, "left_anti").persist()
         best = best.join(done_ids.select(left_id), left_id, "left_anti")
-        if pending.limit(1).count() == 0:
+        # full count (not limit-1) so the new pending cache is fully
+        # materialized before its parent cache is dropped
+        empty = pending.count() == 0
+        if prev_best is not None:
+            prev_best.unpersist()
+        if prev_pending is not None:
+            prev_pending.unpersist()
+        if empty:
             break
     else:
         # ring budget exhausted: emit current best for the stragglers
@@ -179,3 +211,21 @@ def knn_join_cells(
         .filter(F.col("rank") <= k)
         .select(left_id, right_id, "rank", "dist2")
     )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    gshift: int = 21,
+    broadcast_threshold: int = 256,
+    **kwargs,
+) -> DataFrame:
+    """Strategy dispatch, mirroring the reference's in-memory-KdTree vs
+    grid-index choice: a right side of bounded size (city lists, border
+    posts) broadcasts; anything that scales with the input goes through
+    the cell-ring path (equi-joins only, no cross join at any sf)."""
+    n = right.limit(broadcast_threshold + 1).count()
+    if n <= broadcast_threshold:
+        return knn_join_broadcast(left, right, k, **kwargs)
+    return knn_join_cells(left, right, k, gshift=gshift, **kwargs)

@@ -82,22 +82,32 @@ def merge_lines(
     )
 
     def kernel(key, pdf):
+        from collections import Counter
+
         ids = pdf["id"].to_numpy(np.int64)
-        roots = _union_find_chains(
-            ids,
-            pdf["y0"].to_numpy(np.int64),
-            pdf["x0"].to_numpy(np.int64),
-            pdf["y1"].to_numpy(np.int64),
-            pdf["x1"].to_numpy(np.int64),
-        )
+        y0 = pdf["y0"].to_numpy(np.int64)
+        x0 = pdf["x0"].to_numpy(np.int64)
+        y1 = pdf["y1"].to_numpy(np.int64)
+        x1 = pdf["x1"].to_numpy(np.int64)
+        roots = _union_find_chains(ids, y0, x0, y1, x1)
         npts = pdf["npts"].to_numpy(np.int64)
         rows = []
         for r in np.unique(roots):
-            m = roots == r
+            m = np.flatnonzero(roots == r)
             members = np.sort(ids[m])
-            # stitched point count: shared endpoints merge pairwise
-            total = int(npts[m].sum() - (m.sum() - 1))
-            rows.append(list(key) + [int(members[0]), members.tolist(), int(m.sum()), total])
+            # stitched point count: each endpoint shared by c line-ends
+            # collapses to one point, saving c-1.  sum-(n-1) would only
+            # be right for acyclic chains — a closed loop of k ways
+            # shares k endpoints and saves k.  A line whose own
+            # start == end contributes one endpoint slot, not two.
+            ends = Counter()
+            for i in m:
+                ends[(y0[i], x0[i])] += 1
+                if (y1[i], x1[i]) != (y0[i], x0[i]):
+                    ends[(y1[i], x1[i])] += 1
+            saved = sum(c - 1 for c in ends.values() if c > 1)
+            total = int(npts[m].sum() - saved)
+            rows.append(list(key) + [int(members[0]), members.tolist(), int(len(m)), total])
         return pd.DataFrame(rows, columns=list(key_cols) + ["chain_id", "member_ids", "n_members", "total_points"])
 
     return prepared.groupBy(*key_cols).applyInPandas(kernel, out_schema)
@@ -118,9 +128,11 @@ def merge_shapes(
     Signed area is conserved: sum(area2 of inputs) == sum(area2 of
     output rings) — the invariant the tests assert.
 
-    Input rings must share orientation (normalize with
-    Way.clockwise/shoelace first).  Output: key cols + ring_idx +
-    n_points + area2 + member_ids.
+    Input ring orientation is normalized to CCW inside the kernel
+    (Way.clockwise semantics); rings must be closed and
+    non-self-touching — violations raise a clear ValueError instead of
+    failing mid-walk.  Output: key cols + ring_idx + n_points + area2 +
+    member_ids.
     """
     prepared = shapes.select(*key_cols, F.col(id_col).alias("id"), "lats", "lons")
 
@@ -139,6 +151,14 @@ def merge_shapes(
             lo = list(r.lons)
             if la[0] == la[-1] and lo[0] == lo[-1]:
                 la, lo = la[:-1], lo[:-1]
+            # normalize orientation to CCW (Way.clockwise semantics) so
+            # mixed-orientation inputs cannot silently cancel as seams
+            a2 = sum(
+                lo[i] * la[(i + 1) % len(la)] - lo[(i + 1) % len(la)] * la[i]
+                for i in range(len(la))
+            )
+            if a2 < 0:
+                la, lo = la[::-1], lo[::-1]
             n = len(la)
             for i in range(n):
                 a = (la[i], lo[i])
@@ -148,9 +168,21 @@ def merge_shapes(
                 else:
                     edges[(a, b)] += 1
         succ = defaultdict(list)
+        indeg = defaultdict(int)
         for (a, b), cnt in edges.items():
             for _ in range(cnt):
                 succ[a].append(b)
+                indeg[b] += 1
+        # precondition check: the surviving edge multigraph must be
+        # Eulerian (in-degree == out-degree per vertex) or the ring walk
+        # below would run off the succ list (unclosed / self-touching
+        # input rings).  Fail loudly rather than IndexError mid-stage.
+        for v in set(succ) | set(indeg):
+            if len(succ.get(v, ())) != indeg.get(v, 0):
+                raise ValueError(
+                    f"merge_shapes: unbalanced edge graph at vertex {v} for key {key!r} "
+                    f"(input rings must be closed, non-self-touching, consistent orientation)"
+                )
         for a in succ:
             succ[a].sort()
         rings = []

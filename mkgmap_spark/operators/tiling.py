@@ -667,4 +667,11 @@ def tiles_to_df(spark: SparkSession, tiles: list[Tile]) -> DataFrame:
             "parent_id": np.array([t.parent_id for t in tiles], dtype=np.int64),
         }
     )
-    return spark.createDataFrame(pdf)
+    # explicit schema: an empty corpus yields zero tiles and schema
+    # inference cannot work on an empty frame
+    schema = (
+        "tile_id long, level int, min_lat int, min_lon int, max_lat int, "
+        "max_lon int, n_slots int, n_points long, n_lines long, "
+        "n_shapes long, size_bytes long, parent_id long"
+    )
+    return spark.createDataFrame(pdf, schema=schema)

@@ -186,7 +186,10 @@ GROUP BY 1, 2
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.knn import knn_join_broadcast
+    """Flagship kNN: the strategy dispatcher.  The supplier side scales
+    with sf, so above the broadcast threshold this takes the cell-ring
+    path (equi-joins only — no BroadcastNestedLoopJoin at bench sf)."""
+    from .operators.knn import knn_join
 
     cust = _read(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
@@ -198,7 +201,7 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         lat_col("s_suppkey").alias("ry"),
         lon_col("s_suppkey").alias("rx"),
     )
-    out = knn_join_broadcast(cust, supp, k=3)
+    out = knn_join(cust, supp, k=3, gshift=21)
     return out.select(
         F.col("id").alias("c_custkey"),
         F.col("rid").alias("s_suppkey"),
@@ -320,7 +323,7 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_LANG_PROFILE_SQL = """
 SELECT lang, source, COUNT(*) AS n_docs,
-       SUM(CAST(COALESCE(n_chars, 0) AS BIGINT)) AS sum_chars,
+       CAST(SUM(CAST(COALESCE(n_chars, 0) AS BIGINT)) AS BIGINT) AS sum_chars,
        MIN(doc_id) AS min_doc_id
 FROM documents GROUP BY 1, 2
 """
@@ -349,8 +352,8 @@ def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_LINEITEM_AGG_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty,
-       SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_cents,
+       CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -401,8 +404,8 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_EVENTS_USER_STATS_SQL = """
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-       SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS purchase_cents,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents,
        MAX(CAST(round(value * 100, 0) AS BIGINT)) AS max_cents
 FROM events GROUP BY 1
 """
@@ -924,12 +927,17 @@ def q_access_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit("yes"), F.lit("no"), F.lit("__none__")),
         (F.pmod(k, F.lit(3)) + 1).cast("int"),
     )
+    truck = F.element_at(
+        F.array(F.lit("yes"), F.lit("no"), F.lit("__none__"), F.lit("private"), F.lit("__none__")),
+        (F.pmod(k, F.lit(5)) + 1).cast("int"),
+    )
     oneway = F.element_at(
         F.array(F.lit("yes"), F.lit("__none__")), (F.pmod(k, F.lit(2)) + 1).cast("int")
     )
     tags = F.map_filter(
         F.create_map(
-            F.lit("access"), acc, F.lit("foot"), foot, F.lit("oneway"), oneway
+            F.lit("access"), acc, F.lit("foot"), foot, F.lit("truck"), truck,
+            F.lit("oneway"), oneway
         ),
         lambda key, v: v != F.lit("__none__"),
     )
@@ -937,12 +945,15 @@ def q_access_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # hand-derived oracle: vehicles all follow blanket `access` except foot
-# which has its own tag when k%3 != 2; oneway bit when k%2 == 0
+# (own tag when k%3 != 2, bit 0) and truck (own tag when k%5 in {0,1,3},
+# bit 4 per AccessTagsAndBits: DELIVERY=bit3, TRUCK=bit4); oneway bit
+# when k%2 == 0
 Q_ACCESS_MASK_SQL = """
 WITH t AS (
   SELECT p_partkey,
          (['yes','no','private','designated'])[(p_partkey % 4) + 1] AS acc,
          (['yes','no','__none__'])[(p_partkey % 3) + 1] AS foot,
+         (['yes','no','__none__','private','__none__'])[(p_partkey % 5) + 1] AS truck,
          (p_partkey % 2) = 0 AS ow
   FROM part
 ), bits AS (
@@ -950,13 +961,17 @@ WITH t AS (
          CASE WHEN foot <> '__none__'
               THEN CASE WHEN foot IN ('no','private','false','0') THEN 0 ELSE 1 END
               ELSE CASE WHEN acc IN ('no','private','false','0') THEN 0 ELSE 1 END END AS foot_bit,
+         CASE WHEN truck <> '__none__'
+              THEN CASE WHEN truck IN ('no','private','false','0') THEN 0 ELSE 1 END
+              ELSE CASE WHEN acc IN ('no','private','false','0') THEN 0 ELSE 1 END END AS truck_bit,
          CASE WHEN acc IN ('no','private','false','0') THEN 0 ELSE 1 END AS veh_bit,
          CASE WHEN ow THEN 1 ELSE 0 END AS ow_bit
   FROM t
 )
 SELECT p_partkey,
        CAST(foot_bit
-            + veh_bit * (2 + 4 + 8 + 16 + 32 + 64 + 128)
+            + truck_bit * 16
+            + veh_bit * (2 + 4 + 8 + 32 + 64 + 128)
             + ow_bit * 256 AS BIGINT) AS access_mask
 FROM bits
 """

@@ -149,22 +149,28 @@ def test_simhash(spark):
     ham_ac = bin((rows["a"] ^ rows["c"]) & mask).count("1")
     assert ham_ab < ham_ac  # similar docs closer in hamming space
 
-    # band-bucket guarantee: any pair within hamming 3 shares one of
-    # the 4 16-bit bands -> always found; a pair with one flip in
-    # every band is never bucketed together
+    # band-bucket guarantee: bands = max_hamming + 1, so any pair
+    # within the distance budget shares at least one identical band
+    # (pigeonhole) — including adversarial flip patterns spread across
+    # the old fixed 4 bands
     base = 0x0123456789ABCDEF
     synth = spark.createDataFrame(
         [
             ("x", base),
-            ("y", base ^ 0b111),  # 3 flips, same band
-            ("z", base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))),  # 1 flip/band
+            ("y", base ^ 0b111),  # 3 flips, same region
+            ("z", base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))),  # spread flips
         ],
         "doc_id string, simhash long",
     )
     near = dedup.simhash_near_dups(synth, max_hamming=4).collect()
     got = {frozenset((r["doc_a"], r["doc_b"])) for r in near}
     assert frozenset(("x", "y")) in got
-    assert frozenset(("x", "z")) not in got
+    assert frozenset(("x", "z")) in got  # hamming 4 <= 4: recall guaranteed
+
+    near3 = dedup.simhash_near_dups(synth, max_hamming=3).collect()
+    got3 = {frozenset((r["doc_a"], r["doc_b"])) for r in near3}
+    assert frozenset(("x", "y")) in got3
+    assert frozenset(("x", "z")) not in got3  # hamming 4 > 3: filtered
 
 
 # ---------------------------------------------------------------- text
