@@ -71,6 +71,130 @@ def apply_to_members(
     )
 
 
+_PUSH_APPLY_SCHEMA = (
+    "kind string, id long, tags map<string,string>, "
+    "nested array<struct<rel_id: long, sub_idx: int, ctx: map<string,string>, seq: int>>"
+)
+
+
+def apply_pushed_to_members(
+    relations: DataFrame,
+    features: DataFrame,
+    rules,
+    pushes: DataFrame | None = None,
+    relations_out: DataFrame | None = None,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Execute the rule engine's ``apply``/``apply_once`` pushes against
+    member elements (SubAction.java semantics).
+
+    ``relations``: (id, members array<struct<role, mtype, ref>>).
+    ``features``: (kind, id, tags) — the elements to update (members
+    resolve on (mtype, ref) == (kind, id)).
+    ``relations_out``: output of ``compile_rules(..., is_relation=True,
+    with_pushed=True)`` over the relations (carries the ``pushed``
+    column of (sub_idx, relation-tag-snapshot) structs).
+
+    The per-member executor is the interpreter's own Python action
+    code (rules/interpreter.apply_sub_to_member) run as a grouped
+    Arrow kernel — exact parity with the differential oracle; Python
+    touches only relation members (a small fraction of any corpus),
+    never the main element scan.  Nested ``apply`` blocks (a member
+    that is itself a relation) iterate: each round's kernel returns
+    the nested pushes, re-keyed deterministically, until none remain
+    (mkgmap resolves the same nesting recursively in SubAction).
+
+    Ordering: pushes execute per member sorted by (relation id, push
+    order within the relation, member position) — mkgmap's order is
+    input-file order, which our decoded tables expose as id order.
+    Returns ``features`` with updated ``tags``.
+    """
+    from pyspark.sql import Window
+
+    from ..rules.compiler import compiled_sub_actions
+    from ..rules.interpreter import apply_sub_to_member
+
+    subs = compiled_sub_actions(rules)
+
+    if pushes is None:
+        if relations_out is None:
+            raise ValueError("need relations_out (with pushed column) or pushes")
+        pushes = relations_out.filter(F.size("pushed") > 0).select(
+            F.col("id").alias("rel_id"),
+            F.posexplode("pushed").alias("push_idx", "p"),
+        ).select(
+            "rel_id",
+            "push_idx",
+            F.col("p.sub_idx").alias("sub_idx"),
+            F.col("p.ctx").alias("ctx"),
+        )
+
+    def kernel(key, pdf):
+        import pandas as _pd
+
+        sub_idx_of = {id(a): i for i, a in enumerate(subs)}
+        kind, mid = key[0], int(key[1])
+        pdf = pdf.sort_values(["rel_id", "push_idx", "m_idx"], kind="mergesort")
+        tags = dict(pdf.iloc[0]["tags"]) if pdf.iloc[0]["tags"] is not None else {}
+        nested_rows = []
+        seen_once: set[tuple] = set()
+        seq = 0
+        for r in pdf.itertuples():
+            sub = subs[int(r.sub_idx)]
+            if sub.role is not None and sub.role != r.role:
+                continue
+            if sub.once:
+                k = (int(r.rel_id), int(r.push_idx))
+                if k in seen_once:
+                    continue
+                seen_once.add(k)
+            ctx = dict(r.ctx) if r.ctx is not None else {}
+            tags, nested = apply_sub_to_member(sub, ctx, tags, member_is_relation=kind == "relation")
+            for a, nctx in nested:
+                nested_rows.append((mid, sub_idx_of[id(a)], nctx, seq))
+                seq += 1
+        return _pd.DataFrame(
+            [(kind, mid, tags, nested_rows)],
+            columns=["kind", "id", "tags", "nested"],
+        )
+
+    for _ in range(max_rounds):
+        if pushes.limit(1).count() == 0:
+            break
+        x = (
+            pushes.join(relations.select(F.col("id").alias("rel_id"), "members"), "rel_id")
+            .select("rel_id", "push_idx", "sub_idx", "ctx", F.posexplode("members").alias("m_idx", "m"))
+            .select(
+                "rel_id", "push_idx", "sub_idx", "ctx", "m_idx",
+                F.col("m.role").alias("role"),
+                F.col("m.mtype").alias("kind"),
+                F.col("m.ref").alias("id"),
+            )
+            .join(features.select("kind", "id", "tags"), ["kind", "id"])
+        )
+        result = x.groupBy("kind", "id").applyInPandas(kernel, _PUSH_APPLY_SCHEMA).persist()
+        upd = result.select("kind", "id", F.col("tags").alias("_new_tags"))
+        features = (
+            features.join(upd, ["kind", "id"], "left")
+            .withColumn("tags", F.coalesce(F.col("_new_tags"), F.col("tags")))
+            .drop("_new_tags")
+        )
+        # nested pushes: deterministic re-keying by (member id, seq)
+        w = Window.partitionBy("rel_id").orderBy("seq")
+        pushes = (
+            result.select(F.explode("nested").alias("n"))
+            .select(
+                F.col("n.rel_id").alias("rel_id"),
+                F.col("n.sub_idx").alias("sub_idx"),
+                F.col("n.ctx").alias("ctx"),
+                F.col("n.seq").alias("seq"),
+            )
+            .withColumn("push_idx", F.row_number().over(w) - 1)
+            .drop("seq")
+        )
+    return features
+
+
 MP_OUT_SCHEMA = (
     "rel_id long, ring_idx int, closed boolean, is_hole boolean, "
     "n_points int, lats array<int>, lons array<int>"
