@@ -158,6 +158,189 @@ def minhash_dedup(
     return jaccard_verify(cands, docs, threshold, text_col, id_col, shingle_k)
 
 
+# ---------------------------------------------------------------------
+# Deterministic (oracle-able) variants: the same LSH shapes with a
+# base hash (md5 prefix) and permutation family (linear int mixes)
+# that ANSI SQL engines can reproduce exactly — these back the driver
+# correctness gate, while the xxhash64 paths above stay the fast
+# defaults.  Permutation params come from one shared PRNG so the SQL
+# builder and the Spark expression are generated from the SAME values.
+# ---------------------------------------------------------------------
+
+MD5_PREFIX_SQL_SPARK = "cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
+MD5_PREFIX_SQL_DUCK = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def mh_params(n: int, seed: int = 0x5EED) -> list[tuple[int, int, int]]:
+    """n (A, B, C) linear-mix params, all < 2^30 so A*(h & 2^32-1) +
+    B*(h >> 32) + C never overflows int64 for 60-bit base hashes."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30) | 1, rng.randrange(1, 1 << 30) | 1, rng.randrange(1 << 30))
+        for _ in range(n)
+    ]
+
+
+def _perm_sql(a: int, b: int, c: int, v: str) -> str:
+    return f"({a} * ({v} & 4294967295) + {b} * ({v} >> 32) + {c})"
+
+
+def minhash_pairs_md5(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with the deterministic md5-prefix
+    base hash and linear permutations — same distributed shape as
+    minhash_dedup (banded bucket equi-join -> exact Jaccard verify),
+    reproducible in DuckDB for the driver oracle.
+    Output: (doc_a, doc_b, jaccard)."""
+    rows = n_hashes // bands
+    params = mh_params(n_hashes)
+    sh = _shingles_col(text_col, shingle_k)
+    base = MD5_PREFIX_SQL_SPARK.format(s="s")
+    d = docs.select(F.col(id_col).alias("doc_id"), sh.alias("_sh")).withColumn(
+        "_pre", F.expr(f"transform(_sh, s -> {base})")
+    )
+    sig = F.array(
+        *[
+            F.expr(
+                f"aggregate(_pre, cast(9223372036854775807 as bigint),"
+                f" (acc, v) -> least(acc, {_perm_sql(a, b, c, 'v')}))"
+            )
+            for a, b, c in params
+        ]
+    )
+    sigs = d.select("doc_id", F.array_distinct("_sh").alias("_shd"), sig.alias("signature"))
+    banded = sigs.select(
+        "doc_id",
+        "_shd",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"concat_ws(',', transform(slice(signature, b * {rows} + 1, {rows}), x -> cast(x as string))))"
+            )
+        ).alias("band", "bucket"),
+    )
+    a_side = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("_shd").alias("sh_a"), "band", "bucket"
+    )
+    b_side = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("_shd").alias("sh_b"), "band", "bucket"
+    )
+    cands = (
+        a_side.join(b_side, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.withColumn("jaccard", inter.cast("double") / uni)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_pairs_md5_oracle_sql(
+    threshold: float = 0.5, shingle_k: int = 3, n_hashes: int = 16, bands: int = 4
+) -> str:
+    """DuckDB equivalent of minhash_pairs_md5 over the documents view."""
+    rows = n_hashes // bands
+    params = mh_params(n_hashes)
+    base = MD5_PREFIX_SQL_DUCK.format(s="s")
+    k = shingle_k
+    mins = ",\n       ".join(
+        f"list_min(list_transform(pre, v -> {_perm_sql(a, b, c, 'v')})) AS m{i}"
+        for i, (a, b, c) in enumerate(params)
+    )
+    sig_arr = "[" + ", ".join(f"m{i}" for i in range(n_hashes)) + "]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(COALESCE(text, '')), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t) - {k} + 2),
+                                  i -> array_to_string(t[i:i+{k - 1}], ' ')) END AS shingles
+  FROM toks
+), pre AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {base}) AS pre
+  FROM sh
+), sigs AS (
+  SELECT doc_id, list_distinct(shingles) AS shd, {mins}
+  FROM pre
+), banded AS (
+  SELECT doc_id, shd, b.band,
+         array_to_string(({sig_arr})[b.band * {rows} + 1 : b.band * {rows} + {rows}], ',') AS bucket
+  FROM sigs, (SELECT unnest(range(0, {bands})) AS band) b
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shd AS sh_a, b.shd AS sh_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+), j AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+         (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+  FROM cands
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {threshold}
+"""
+
+
+def simhash_md5(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 60
+) -> DataFrame:
+    """SimHash over the deterministic 60-bit md5-prefix token hash
+    (SQL-reproducible variant of simhash())."""
+    base = MD5_PREFIX_SQL_SPARK.format(s="t")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"transform(split(trim(coalesce({text_col}, '')), '\\\\s+'), t -> {base})").alias("_h"),
+    )
+    fp = " + ".join(
+        f"if(aggregate(_h, 0, (acc, v) -> acc + cast((v >> {j}) & 1 as int) * 2 - 1) > 0, "
+        f"cast({1 << j} as bigint), 0L)"
+        for j in range(n_bits)
+    )
+    return d.select("doc_id", F.expr(f"({fp})").alias("simhash"))
+
+
+def simhash_md5_oracle_sql(max_hamming: int = 3, n_bits: int = 60) -> str:
+    """DuckDB brute-force equivalent of simhash_md5 +
+    simhash_near_dups: the band join is recall-lossless (pigeonhole
+    with bands = max_hamming + 1), so hamming <= d over all pairs IS
+    the reference answer."""
+    base = MD5_PREFIX_SQL_DUCK.format(s="t")
+    votes = ",\n       ".join(
+        f"list_sum(list_transform(h, v -> CASE WHEN (v >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) AS v{j}"
+        for j in range(n_bits)
+    )
+    fp = " + ".join(f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(n_bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(COALESCE(text, '')), '\\s+') AS t FROM documents
+), hashes AS (
+  SELECT doc_id, list_transform(t, t -> {base}) AS h FROM toks
+), votes AS (
+  SELECT doc_id, {votes} FROM hashes
+), fps AS (
+  SELECT doc_id, ({fp}) AS fp FROM votes
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash fingerprint per doc, fully JVM-side.
 

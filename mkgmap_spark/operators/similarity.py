@@ -51,6 +51,128 @@ def brute_force_topk(
     )
 
 
+def lsh_plane_weights(dim: int, n_planes: int, seed: int = 0xA11CE) -> list[list[int]]:
+    """Deterministic integer hyperplane weights in [-500, 500] — shared
+    by the Spark expression and the SQL oracle builder so both engines
+    compute identical sign bits (exact int arithmetic, no float order
+    sensitivity)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [[rng.randint(-500, 500) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_topk_int(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with quantized-int vectors and integer LSH
+    planes: sign-bucket band join -> exact integer-dot re-rank.  Same
+    scale shape as lsh_topk (no cross join), but every step is exact
+    int64 arithmetic reproducible in ANSI SQL (the driver oracle).
+    Output: (qid, neighbor_id, rank, dot)."""
+    planes = lsh_plane_weights(dim, n_planes)
+    bits_per_band = n_planes // bands
+    qv = f"transform({{c}}, x -> cast(round(x * {scale}, 0) as bigint))"
+
+    def sig_expr(vc: str) -> str:
+        bits = []
+        for p, w in enumerate(planes):
+            warr = "array(" + ", ".join(f"{x}L" for x in w) + ")"
+            dot = (
+                f"aggregate(zip_with({vc}, {warr}, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+            )
+            bits.append(f"if({dot} >= 0, cast({1 << p} as bigint), 0L)")
+        return "(" + " + ".join(bits) + ")"
+
+    def banded(df, idc, vc_in, out_id, out_v):
+        d = df.select(
+            F.col(idc).alias(out_id), F.expr(qv.format(c=vc_in)).alias(out_v)
+        ).withColumn("_sig", F.expr(sig_expr(out_v)))
+        return d.select(
+            out_id,
+            out_v,
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("_sig"), b * bits_per_band).bitwiseAND(
+                            F.lit((1 << bits_per_band) - 1).cast("long")
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+
+    e = banded(embeddings, id_col, vec_col, "neighbor_id", "v")
+    qb = banded(queries, "qid", "qv", "qid", "qvq")
+    cands = (
+        e.join(qb, ["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select("qid", "qvq", "neighbor_id", "v")
+        .dropDuplicates(["qid", "neighbor_id"])
+    )
+    dot = F.expr("aggregate(zip_with(qvq, v, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.col("neighbor_id"))
+    return (
+        cands.withColumn("dot", dot)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "rank", "dot")
+    )
+
+
+def lsh_topk_int_oracle_sql(
+    n_query: int = 10,
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    scale: int = 10_000,
+) -> str:
+    """DuckDB equivalent of lsh_topk_int over the embeddings view."""
+    planes = lsh_plane_weights(dim, n_planes)
+    bits_per_band = n_planes // bands
+    bits = []
+    for p, w in enumerate(planes):
+        warr = "[" + ", ".join(str(x) for x in w) + "]"
+        dot = f"list_sum(list_transform(range(1, {dim} + 1), i -> qv[i] * ({warr})[i]))"
+        bits.append(f"CASE WHEN {dot} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END")
+    sig = "(" + " + ".join(bits) + ")"
+    mask = (1 << bits_per_band) - 1
+    return f"""
+WITH qvs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * {scale}, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), sigs AS (
+  SELECT vec_id, qv, {sig} AS sig FROM qvs
+), banded AS (
+  SELECT vec_id, qv, b.band, (sig >> (b.band * {bits_per_band})) & {mask} AS bucket
+  FROM sigs, (SELECT unnest(range(0, {bands})) AS band) b
+), cands AS (
+  SELECT DISTINCT q.vec_id AS qid, q.qv AS qvq, e.vec_id AS neighbor_id, e.qv AS v
+  FROM banded q JOIN banded e ON q.band = e.band AND q.bucket = e.bucket
+  WHERE q.vec_id < {n_query} AND e.vec_id <> q.vec_id
+), scored AS (
+  SELECT qid, neighbor_id,
+         CAST(list_sum(list_transform(range(1, {dim} + 1), i -> qvq[i] * v[i])) AS BIGINT) AS dot
+  FROM cands
+), ranked AS (
+  SELECT qid, neighbor_id, dot,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT qid, neighbor_id, rank, dot FROM ranked WHERE rank <= {k}
+"""
+
+
 def _projection_udf(dim: int, n_planes: int, seed: int):
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(dim, n_planes)).astype(np.float64)

@@ -701,28 +701,57 @@ FROM documents
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import minhash_dedup
+    """MinHash+LSH near-dup pairs, deterministic md5-prefix base hash +
+    linear permutations (band-bucket equi-join -> exact Jaccard verify;
+    the xxhash64 fast path shares the identical plan shape and is
+    covered by pytest)."""
+    from .operators.dedup import minhash_pairs_md5
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_dedup(docs, threshold=0.5)
+    return minhash_pairs_md5(docs, threshold=0.5)
+
+
+def _minhash_oracle_sql() -> str:
+    from .operators.dedup import minhash_pairs_md5_oracle_sql
+
+    return minhash_pairs_md5_oracle_sql(threshold=0.5)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import simhash, simhash_near_dups
+    """SimHash near-dups over the deterministic 60-bit md5-prefix token
+    hash; the band join is recall-lossless (bands = max_hamming + 1),
+    so the brute-force SQL oracle IS the reference answer."""
+    from .operators.dedup import simhash_md5, simhash_near_dups
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_dups(simhash(docs), max_hamming=3)
+    return simhash_near_dups(simhash_md5(docs), max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    from .operators.dedup import simhash_md5_oracle_sql
+
+    return simhash_md5_oracle_sql(max_hamming=3)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import lsh_topk
+    """ANN via integer sign-LSH band join + exact quantized-dot
+    re-rank — every step int64-exact and SQL-reproducible."""
+    from .operators.similarity import lsh_topk_int
 
     emb = _read(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    return lsh_topk(emb, q, k=3, dim=dim, n_planes=16, bands=4)
+    return lsh_topk_int(emb, q, k=3, dim=dim, n_planes=16, bands=4)
+
+
+def _ann_lsh_oracle_sql() -> str:
+    from .operators.similarity import lsh_topk_int_oracle_sql
+
+    return lsh_topk_int_oracle_sql(n_query=10, k=3, dim=64, n_planes=16, bands=4)
 
 
 def q_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,6 +772,47 @@ def q_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(x1, x2).alias("lons"),
     )
     return merge_lines(lines, ["grp"]).select("grp", "chain_id", "n_members", "total_points")
+
+
+# connected components over shared endpoints as a recursive-CTE
+# min-label propagation; total_points counts each shared endpoint once
+# (a line whose own start == end contributes one endpoint slot)
+Q_LINE_MERGE_SQL = f"""
+WITH RECURSIVE lines AS (
+  SELECT o_orderkey AS id,
+         CAST(o_custkey % 64 AS VARCHAR) AS grp,
+         {lat_sql('o_custkey')} AS y1, {lon_sql('o_custkey')} AS x1,
+         {lat_sql('(o_orderkey + 1)')} AS y2, {lon_sql('(o_orderkey + 1)')} AS x2
+  FROM orders
+), slots AS (
+  SELECT DISTINCT grp, id, ey, ex FROM (
+    SELECT grp, id, y1 AS ey, x1 AS ex FROM lines
+    UNION ALL
+    SELECT grp, id, y2 AS ey, x2 AS ex FROM lines
+  )
+), edges AS (
+  SELECT a.grp, a.id AS ida, b.id AS idb
+  FROM slots a JOIN slots b
+    ON a.grp = b.grp AND a.ey = b.ey AND a.ex = b.ex AND a.id <> b.id
+), comp(grp, id, label) AS (
+  SELECT grp, id, id FROM lines
+  UNION
+  SELECT e.grp, e.ida, c.label FROM comp c JOIN edges e ON c.grp = e.grp AND c.id = e.idb
+), labels AS (
+  SELECT grp, id, MIN(label) AS root FROM comp GROUP BY 1, 2
+), slotc AS (
+  SELECT s.grp, lb.root, s.ey, s.ex, COUNT(*) AS c
+  FROM slots s JOIN labels lb ON s.grp = lb.grp AND s.id = lb.id
+  GROUP BY 1, 2, 3, 4
+), saved AS (
+  SELECT grp, root, SUM(c - 1) AS sv FROM slotc WHERE c > 1 GROUP BY 1, 2
+)
+SELECT m.grp, CAST(m.root AS BIGINT) AS chain_id,
+       CAST(COUNT(*) AS INT) AS n_members,
+       CAST(COUNT(*) * 2 - COALESCE(MAX(s.sv), 0) AS INT) AS total_points
+FROM labels m LEFT JOIN saved s ON m.grp = s.grp AND m.root = s.root
+GROUP BY m.grp, m.root
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1016,9 +1086,10 @@ ORACLES: dict[str, str] = {
     "segment_join": Q_SEGMENT_JOIN_SQL,
     "lang_id": _lang_id_sql(),
     "token_counts": Q_TOKEN_COUNTS_SQL,
-    # minhash_pairs / simhash_pairs / ann_lsh / line_merge: rows-only
-    # (xxhash64 / LSH projections / connected components aren't
-    # SQL-reproducible; pytest oracles cover them)
+    "minhash_pairs": _minhash_oracle_sql(),
+    "simhash_pairs": _simhash_oracle_sql(),
+    "ann_lsh": _ann_lsh_oracle_sql(),
+    "line_merge": Q_LINE_MERGE_SQL,
     "cell_index": Q_CELL_INDEX_SQL,
     "tile_histogram": Q_TILE_HISTOGRAM_SQL,
     "pip_rect_join": Q_PIP_RECT_JOIN_SQL,
