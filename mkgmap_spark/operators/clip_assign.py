@@ -48,11 +48,21 @@ def assign_ways_with_split(
     tiles: list[Tile],
     shift: int,
     level: int = 0,
+    split_kernel: str = "sh",
 ) -> tuple[list[Tile], DataFrame]:
     """ways: (id, kind_i in {1,2}, lats, lons).  Returns (tiles +
-    appended private tiles, membership df (id, level, tile_id, part))."""
+    appended private tiles, membership df (id, level, tile_id, part)).
+
+    ``split_kernel``: 'sh' = Sutherland-Hodgman clip per tile (fast
+    default, same as the oracle); 'exact' = the ShapeSplitter
+    crossing-point pairing kernel (functions/shape_split.py, exact port
+    of util/ShapeSplitter.splitShape:554) which also handles shapes
+    degenerately touching or running along tile borders."""
     bounds_map = index.tile_bounds()
     max_size = max_size_for_shift(shift)
+    use_exact = split_kernel == "exact"
+    if use_exact:
+        from ..functions.shape_split import clip_shape_exact
 
     def kernel(it):
         for pdf in it:
@@ -88,6 +98,21 @@ def assign_ways_with_split(
                     part = 0
                     for ct in sorted(set(cand)):
                         cb = bounds_map[ct]
+                        if use_exact:
+                            pieces = clip_shape_exact(la, lo, (cb[0], cb[1], cb[2] - 1, cb[3] - 1))
+                            keep = any(
+                                len(p) >= 4
+                                and shoelace2(
+                                    np.array([q[0] for q in p], dtype=np.int64),
+                                    np.array([q[1] for q in p], dtype=np.int64),
+                                )
+                                != 0
+                                for p in pieces
+                            )
+                            if keep:
+                                out_id.append(ids[i]); out_tile.append(ct); out_part.append(part); out_priv.append(False)
+                                part += 1
+                            continue
                         cy, cx = clip_ring(la, lo, (cb[0], cb[1], cb[2] - 1, cb[3] - 1))
                         if len(cy) >= 3 and shoelace2(np.round(cy).astype(np.int64), np.round(cx).astype(np.int64)) != 0:
                             out_id.append(ids[i]); out_tile.append(ct); out_part.append(part); out_priv.append(False)

@@ -113,6 +113,192 @@ def merge_lines(
     return prepared.groupBy(*key_cols).applyInPandas(kernel, out_schema)
 
 
+# RoadMerger.mergeTagsEqualValue:61-76 — roads merge only when all of
+# these tags match exactly (null == null counts as equal)
+ROAD_MERGE_TAGS = [
+    "mkgmap:label:1",
+    "mkgmap:label:2",
+    "mkgmap:label:3",
+    "mkgmap:label:4",
+    "mkgmap:postal_code",
+    "mkgmap:city",
+    "mkgmap:region",
+    "mkgmap:country",
+    "mkgmap:is_in",
+    "mkgmap:skipSizeFilter",
+    "mkgmap:synthesised",
+    "mkgmap:highest-resolution-only",
+    "mkgmap:flare-check",
+    "mkgmap:numbers",
+]
+
+MAX_MERGE_ANGLE = 130.0  # RoadMerger.java:48
+_MU = 2.0 * 3.141592653589793 / (1 << 24)
+
+
+def _bearing_deg(y1, x1, y2, x2) -> float:
+    """Rhumb-line bearing in degrees over map units
+    (Coord.bearingToOnRhumbLine)."""
+    import math
+
+    lat1, lon1, lat2, lon2 = y1 * _MU, x1 * _MU, y2 * _MU, x2 * _MU
+    dlon = lon2 - lon1
+    dphi = math.log(math.tan(lat2 / 2 + math.pi / 4) / math.tan(lat1 / 2 + math.pi / 4))
+    return math.degrees(math.atan2(dlon, dphi))
+
+
+def _turn_angle(c1, c2, c3) -> float:
+    """Utils.getAngle: change of direction at c2 (0 = straight)."""
+    a = _bearing_deg(c2[0], c2[1], c1[0], c1[1])
+    b = _bearing_deg(c2[0], c2[1], c3[0], c3[1])
+    ang = b - (a - 180)
+    while ang > 180:
+        ang -= 360
+    while ang < -180:
+        ang += 360
+    return ang
+
+
+ROAD_MERGE_SCHEMA = (
+    "id long, member_ids array<bigint>, n_members int, "
+    "lats array<int>, lons array<int>, road_class int, road_speed int, "
+    "access long, route_flags long"
+)
+
+
+def merge_roads(
+    roads: DataFrame,
+    id_col: str = "id",
+    tags_col: str = "tags",
+) -> DataFrame:
+    """RoadMerger semantics (osmstyle/RoadMerger.java:45-110,
+    isMergeable:360): merge road2 onto road1 where end(road1) ==
+    start(road2) and
+
+    - road_class, road_speed, access bits, route flags equal,
+    - the 14 mergeTagsEqualValue tags equal (null == null),
+    - the merge would not create a closed way,
+    - the turn angle at the merge point is <= 130 deg
+      (Utils.getAngle over rhumb bearings),
+    - the merge point is not a restricted via point for either way
+      (optional ``restricted`` column: array of [y, x] pairs).
+
+    Input: (id, lats, lons, road_class, road_speed, access,
+    route_flags, tags[, restricted]).  Oneway direction is honoured by
+    construction: only end-to-start chains merge, so two oneways of
+    opposing digitization never concatenate (route_flags equality
+    already forces the same oneway flag).
+
+    Shuffle shape: groupBy the full attribute key (bounded-size groups
+    per road class/name), greedy deterministic merge inside each group
+    (points processed in sorted order, candidates by id — the
+    reference's IdentityHashMap iteration is replaced by a stable
+    order; row-for-row output vs the reference is therefore not
+    guaranteed, but the mergeability RULES are).
+    Output: ROAD_MERGE_SCHEMA, id = first member id per merged chain.
+    """
+    has_restricted = "restricted" in roads.columns
+    key_cols = [
+        F.coalesce(F.col(tags_col).getItem(t), F.lit("\x00")).alias(f"_k{i}")
+        for i, t in enumerate(ROAD_MERGE_TAGS)
+    ]
+    sel = [
+        F.col(id_col).alias("id"),
+        "lats",
+        "lons",
+        F.col("road_class").cast("int"),
+        F.col("road_speed").cast("int"),
+        F.col("access").cast("long"),
+        F.col("route_flags").cast("long"),
+        *key_cols,
+    ]
+    if has_restricted:
+        sel.append("restricted")
+    prepared = roads.select(*sel)
+    group_cols = ["road_class", "road_speed", "access", "route_flags"] + [
+        f"_k{i}" for i in range(len(ROAD_MERGE_TAGS))
+    ]
+
+    def kernel(key, pdf):
+        rows = {}
+        for r in pdf.itertuples():
+            la = list(r.lats)
+            lo = list(r.lons)
+            restr = set()
+            if has_restricted and r.restricted is not None:
+                restr = {(int(p[0]), int(p[1])) for p in r.restricted}
+            rows[int(r.id)] = {
+                "pts": list(zip(la, lo)),
+                "members": [int(r.id)],
+                "restr": restr,
+            }
+        # endpoint indexes
+        def rebuild():
+            starts, ends = {}, {}
+            for rid, rec in rows.items():
+                starts.setdefault(rec["pts"][0], []).append(rid)
+                ends.setdefault(rec["pts"][-1], []).append(rid)
+            return starts, ends
+
+        changed = True
+        while changed:
+            changed = False
+            starts, ends = rebuild()
+            for pt in sorted(set(starts) & set(ends)):
+                merged_here = True
+                while merged_here:
+                    merged_here = False
+                    starts, ends = rebuild()
+                    cand1 = sorted(ends.get(pt, []))
+                    cand2 = sorted(starts.get(pt, []))
+                    for r1 in cand1:
+                        for r2 in cand2:
+                            if r1 == r2:
+                                continue
+                            rec1, rec2 = rows[r1], rows[r2]
+                            if rec1["pts"][0] == rec2["pts"][-1]:
+                                continue  # would close a loop
+                            if pt in rec1["restr"] or pt in rec2["restr"]:
+                                continue
+                            ang = abs(_turn_angle(rec1["pts"][-2], pt, rec2["pts"][1]))
+                            if ang > MAX_MERGE_ANGLE:
+                                continue
+                            rec1["pts"].extend(rec2["pts"][1:])
+                            rec1["members"].extend(rec2["members"])
+                            rec1["restr"] |= rec2["restr"]
+                            del rows[r2]
+                            changed = merged_here = True
+                            break
+                        if merged_here:
+                            break
+
+        out = []
+        for rid in sorted(rows):
+            rec = rows[rid]
+            out.append(
+                (
+                    rec["members"][0],
+                    sorted(rec["members"]),
+                    len(rec["members"]),
+                    [p[0] for p in rec["pts"]],
+                    [p[1] for p in rec["pts"]],
+                    int(key[0]),
+                    int(key[1]),
+                    int(key[2]),
+                    int(key[3]),
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "id", "member_ids", "n_members", "lats", "lons",
+                "road_class", "road_speed", "access", "route_flags",
+            ],
+        )
+
+    return prepared.groupBy(*group_cols).applyInPandas(kernel, ROAD_MERGE_SCHEMA)
+
+
 def merge_shapes(
     shapes: DataFrame,
     key_cols: list[str],

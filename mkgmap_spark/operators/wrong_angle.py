@@ -1,0 +1,251 @@
+"""WrongAngleFixer: repair zig-zag artifacts from map-unit rounding.
+
+Reference: osmstyle/WrongAngleFixer.java:39-57 — coordinates rounded
+from high precision (30-bit, DELTA_SHIFT=6 subunits) to 24-bit map
+units can flip nearly-straight lines into zig-zags when adjacent
+points round in opposite directions.  The fixer measures, per point
+("center of angle"), the BEARING ERROR between the real segment
+bearing and the displayed (rounded) bearing to each neighbour
+(calcBearingError: rhumb-line bearings over high-prec radians,
+Coord.bearingToOnRhumbLine:577); points whose worst error is >=
+MAX_BEARING_ERROR (15 deg) are either MOVED to an alternative display
+position (the adjacent grid point per axis when the real position is
+more than a quarter unit away — Coord.getAlternativePositions:714,
+MAX_DELTA = 1 << (DELTA_SHIFT-2)) or REMOVED (calcRemoveError: only
+degree-<=2, non-preserved points, penalty |realAngle|/2, guarded by
+the displayed-angle and displacement-distance checks).  Decision
+thresholds mirror CenterOfAngle.tryChange:980-1090.
+
+Engine re-expression: a per-way numpy kernel over packed
+high-precision coordinate arrays, run as mapInPandas (Arrow batches;
+ways are independent rows, no shuffle).  Documented divergences from
+the reference: (a) centers shared between ways are fixed per way, not
+as one merged cluster (the reference builds cross-way CenterOfAngle
+graphs); (b) no merge-of-duplicate-centers step; (c) bearings use
+exact atan2 (the reference uses atan2_approximation for speed in the
+non-high-prec path); (d) a bounded pass loop (the reference iterates
+with extra passes until quiet).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DELTA_SHIFT = 6  # Coord.java: high-precision subunit bits
+MAX_DELTA = 1 << (DELTA_SHIFT - 2)  # quarter map unit
+MAX_BEARING_ERROR = 15.0
+MAX_BEARING_ERROR_HALF = 7.5
+_MU = 2.0 * math.pi / (1 << 24)  # map units -> radians
+_HP = _MU / (1 << DELTA_SHIFT)  # high-prec units -> radians
+
+
+def hp_to_display(hp: np.ndarray) -> np.ndarray:
+    """Round high-precision to map units (Coord constructor rounding)."""
+    return (hp + (1 << (DELTA_SHIFT - 1))) >> DELTA_SHIFT
+
+
+def _bearing(lat1, lon1, lat2, lon2) -> float:
+    """Rhumb-line bearing in degrees (Coord.bearingToOnRhumbLine);
+    inputs in radians."""
+    dlon = lon2 - lon1
+    if abs(dlon) > math.pi:
+        dlon = -(2 * math.pi - dlon) if dlon > 0 else (2 * math.pi + dlon)
+    dphi = math.log(
+        math.tan(lat2 / 2 + math.pi / 4) / math.tan(lat1 / 2 + math.pi / 4)
+    )
+    return math.degrees(math.atan2(dlon, dphi))
+
+
+def _bearing_err(c_hp, n_hp, c_disp, n_disp) -> float:
+    """calcBearingError: |displayed - real| normalized to [0, 180];
+    coincident points -> inf (the merge case)."""
+    if c_hp[0] == n_hp[0] and c_hp[1] == n_hp[1]:
+        return float("inf")
+    real = _bearing(c_hp[0] * _HP, c_hp[1] * _HP, n_hp[0] * _HP, n_hp[1] * _HP)
+    if c_disp[0] == n_disp[0] and c_disp[1] == n_disp[1]:
+        return float("inf")
+    disp = _bearing(
+        c_disp[0] * _MU, c_disp[1] * _MU, n_disp[0] * _MU, n_disp[1] * _MU
+    )
+    err = disp - real
+    while err > 180:
+        err -= 360
+    while err < -180:
+        err += 360
+    return abs(err)
+
+
+def _alternatives(hp_lat: int, hp_lon: int, d_lat: int, d_lon: int):
+    """Coord.getAlternativePositions: the adjacent display grid point
+    per axis when the real position is > MAX_DELTA subunits away."""
+    delta_lat = (d_lat << DELTA_SHIFT) - hp_lat
+    delta_lon = (d_lon << DELTA_SHIFT) - hp_lon
+    mod_lat, mod_lon = d_lat, d_lon
+    if delta_lat > MAX_DELTA:
+        mod_lat -= 1
+    elif delta_lat < -MAX_DELTA:
+        mod_lat += 1
+    if delta_lon > MAX_DELTA:
+        mod_lon -= 1
+    elif delta_lon < -MAX_DELTA:
+        mod_lon += 1
+    out = []
+    if mod_lat != d_lat:
+        if mod_lon != d_lon:
+            out.append((mod_lat, mod_lon))
+        out.append((mod_lat, d_lon))
+    if mod_lon != d_lon:
+        out.append((d_lat, mod_lon))
+    return out
+
+
+def fix_way_angles(
+    hp_lats: np.ndarray,
+    hp_lons: np.ndarray,
+    preserved: np.ndarray | None = None,
+    max_passes: int = 10,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fix one way.  Inputs: high-precision int coords (map units <<
+    DELTA_SHIFT).  Returns (display_lats, display_lons, keep_mask).
+    Endpoints are never removed; preserved points are never removed."""
+    n = len(hp_lats)
+    hp = np.stack([hp_lats.astype(np.int64), hp_lons.astype(np.int64)], axis=1)
+    disp = np.stack([hp_to_display(hp[:, 0]), hp_to_display(hp[:, 1])], axis=1)
+    keep = np.ones(n, dtype=bool)
+    if preserved is None:
+        preserved = np.zeros(n, dtype=bool)
+
+    def neighbours(i):
+        idx = np.flatnonzero(keep)
+        pos = np.searchsorted(idx, i)
+        out = []
+        if pos > 0:
+            out.append(idx[pos - 1])
+        if pos + 1 < len(idx):
+            out.append(idx[pos + 1])
+        return out
+
+    for _ in range(max_passes):
+        changed = False
+        for i in range(n):
+            if not keep[i]:
+                continue
+            nbs = neighbours(i)
+            if not nbs:
+                continue
+            # infinite error (coincident real or displayed points)
+            # COUNTS toward the worst error — it forces a change
+            # attempt, exactly like Double.MAX_VALUE in the reference
+            errs = [_bearing_err(hp[i], hp[j], disp[i], disp[j]) for j in nbs]
+            init_max = max(errs)
+            if init_max < MAX_BEARING_ERROR:
+                continue
+            # try alternative display positions (move)
+            best_err, best_pos = init_max, None
+            for alt in _alternatives(hp[i][0], hp[i][1], disp[i][0], disp[i][1]):
+                errs2 = [
+                    _bearing_err(hp[i], hp[j], np.array(alt), disp[j]) for j in nbs
+                ]
+                m2 = max(errs2)
+                if m2 < best_err:
+                    best_err, best_pos = m2, alt
+            # removal penalty (calcRemoveError)
+            remove_err = float("inf")
+            is_endpoint = i == 0 or i == n - 1
+            if (
+                not is_endpoint
+                and not preserved[i]
+                and len(nbs) == 2
+            ):
+                a, b = nbs
+                # displayed angle at c between the outer points
+                d1 = _bearing(
+                    disp[i][0] * _MU, disp[i][1] * _MU, disp[a][0] * _MU, disp[a][1] * _MU
+                )
+                d2 = _bearing(
+                    disp[i][0] * _MU, disp[i][1] * _MU, disp[b][0] * _MU, disp[b][1] * _MU
+                )
+                dspl_angle = 180.0 - abs(abs(d1 - d2) - 180.0)
+                dspl_dev = 180.0 - dspl_angle
+                r1 = _bearing(hp[i][0] * _HP, hp[i][1] * _HP, hp[a][0] * _HP, hp[a][1] * _HP)
+                r2 = _bearing(hp[i][0] * _HP, hp[i][1] * _HP, hp[b][0] * _HP, hp[b][1] * _HP)
+                real_angle = 180.0 - abs(abs(r1 - r2) - 180.0)
+                real_dev = 180.0 - real_angle
+                if dspl_dev >= 3:  # displayed not straight: removal can help
+                    remove_err = abs(real_dev) / 2
+            if (
+                remove_err < best_err
+                and init_max - remove_err >= MAX_BEARING_ERROR_HALF
+                and remove_err < MAX_BEARING_ERROR_HALF
+            ):
+                keep[i] = False
+                changed = True
+            elif best_pos is not None and best_err < MAX_BEARING_ERROR:
+                disp[i] = best_pos
+                changed = True
+            elif remove_err < MAX_BEARING_ERROR and not is_endpoint:
+                keep[i] = False
+                changed = True
+        if not changed:
+            break
+    return disp[:, 0], disp[:, 1], keep
+
+
+def max_bearing_error(hp_lats, hp_lons, disp_lats, disp_lons) -> float:
+    """Diagnostic: worst bearing error along a way."""
+    worst = 0.0
+    for i in range(len(hp_lats) - 1):
+        e = _bearing_err(
+            (int(hp_lats[i]), int(hp_lons[i])),
+            (int(hp_lats[i + 1]), int(hp_lons[i + 1])),
+            (int(disp_lats[i]), int(disp_lons[i])),
+            (int(disp_lats[i + 1]), int(disp_lons[i + 1])),
+        )
+        if math.isfinite(e):
+            worst = max(worst, e)
+    return worst
+
+
+WA_SCHEMA = "id long, lats array<int>, lons array<int>, n_removed int"
+
+
+def fix_wrong_angles(ways: DataFrame, hp: bool = True) -> DataFrame:
+    """DataFrame form: ways (id, lats, lons[, preserved]) with
+    high-precision coords (map units << 6) when ``hp`` else plain map
+    units (upscaled internally, which makes every point grid-exact and
+    the op a no-op — pass real high-prec input for effect).
+    Output: (id, lats, lons, n_removed) with DISPLAY (map unit) coords.
+    Per-way kernel, Arrow-batched, no shuffle."""
+    has_pres = "preserved" in ways.columns
+    cols = ["id", "lats", "lons"] + (["preserved"] if has_pres else [])
+
+    def kernel(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples():
+                la = np.asarray(r.lats, dtype=np.int64)
+                lo = np.asarray(r.lons, dtype=np.int64)
+                if not hp:
+                    la, lo = la << DELTA_SHIFT, lo << DELTA_SHIFT
+                pres = (
+                    np.asarray(r.preserved, dtype=bool)
+                    if has_pres
+                    else None
+                )
+                dla, dlo, keep = fix_way_angles(la, lo, pres)
+                out.append(
+                    (
+                        r.id,
+                        dla[keep].astype(np.int32).tolist(),
+                        dlo[keep].astype(np.int32).tolist(),
+                        int((~keep).sum()),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["id", "lats", "lons", "n_removed"])
+
+    return ways.select(*cols).mapInPandas(kernel, WA_SCHEMA)

@@ -81,3 +81,19 @@ def test_pipeline_geometry_assign(spark, documents_df):
     assert got_pts == want_pts
     assert got_ways == o_ways
     assert res.tiles.count() == len(o_tiles)
+
+
+def test_exact_split_kernel_matches_sh(spark, documents_df):
+    """The exact ShapeSplitter kernel and the Sutherland-Hodgman clip
+    agree on tile membership for the fixture's (non-degenerate)
+    shapes; the exact kernel additionally handles border-touching
+    degenerates (covered in tests/test_shape_split.py)."""
+    prepared, _ = _inputs(spark, documents_df)
+    provider = tiling.SparkHistogramProvider(prepared)
+    res = tiling.split_level(provider, 0)
+    ways = prepared.filter(F.col("kind_i") != tiling.POINT_KIND)
+    _, m_sh = assign_ways_with_split(spark, ways, res.index, res.tiles, 0, split_kernel="sh")
+    _, m_ex = assign_ways_with_split(spark, ways, res.index, res.tiles, 0, split_kernel="exact")
+    got_sh = {(r["id"], r["tile_id"], r["part"]) for r in m_sh.collect()}
+    got_ex = {(r["id"], r["tile_id"], r["part"]) for r in m_ex.collect()}
+    assert got_sh == got_ex

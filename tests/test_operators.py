@@ -352,3 +352,64 @@ def test_merge_shapes_dissolve(spark):
     assert sum(r["area2"] for r in a_rings) == in_area
     # the dissolved ring has 6 points (seam corners kept as vertices)
     assert sorted(r["n_points"] for r in a_rings) == [4, 6]
+
+
+# --------------------------------------------------------- road merge
+def test_merge_roads_semantics(spark):
+    """RoadMerger rules: equal-attribute end-to-start chains merge;
+    class/tag mismatches, sharp angles (>130 deg), restricted via
+    points, and closing loops block the merge."""
+    from mkgmap_spark.operators.merge import merge_roads
+
+    def road(rid, pts, rc=2, rs=3, acc=255, fl=0, tags=None, restricted=None):
+        la = [p[0] for p in pts]
+        lo = [p[1] for p in pts]
+        return (rid, la, lo, rc, rs, acc, fl, tags or {}, restricted or [])
+
+    rows = [
+        # straight chain a->b->c : merges into one road
+        road(1, [(0, 0), (0, 1000)]),
+        road(2, [(0, 1000), (0, 2000)]),
+        # different road_class: no merge with 3's neighbour
+        road(3, [(10_000, 0), (10_000, 1000)], rc=4),
+        road(4, [(10_000, 1000), (10_000, 2000)]),
+        # sharp switchback (~180 deg turn): no merge
+        road(5, [(20_000, 0), (20_000, 1000)]),
+        road(6, [(20_000, 1000), (20_000, 1)]),
+        # label mismatch: no merge
+        road(7, [(30_000, 0), (30_000, 1000)], tags={"mkgmap:label:1": "A"}),
+        road(8, [(30_000, 1000), (30_000, 2000)], tags={"mkgmap:label:1": "B"}),
+        # restricted via point: no merge
+        road(9, [(40_000, 0), (40_000, 1000)], restricted=[[40_000, 1000]]),
+        road(10, [(40_000, 1000), (40_000, 2000)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, lats array<int>, lons array<int>, road_class int, road_speed int, "
+        "access long, route_flags long, tags map<string,string>, restricted array<array<int>>",
+    )
+    out = {r["id"]: r for r in merge_roads(df).collect()}
+    assert out[1]["n_members"] == 2 and out[1]["member_ids"] == [1, 2]
+    assert out[1]["lats"] == [0, 0, 0] and out[1]["lons"] == [0, 1000, 2000]
+    assert out[3]["n_members"] == 1 and out[4]["n_members"] == 1
+    assert out[5]["n_members"] == 1 and out[6]["n_members"] == 1
+    assert out[7]["n_members"] == 1 and out[8]["n_members"] == 1
+    assert out[9]["n_members"] == 1 and out[10]["n_members"] == 1
+
+
+def test_merge_roads_no_closed_way(spark):
+    from mkgmap_spark.operators.merge import merge_roads
+
+    # two halves of a ring: merging once is fine, closing is not
+    rows = [
+        (1, [0, 0, 1000], [0, 1000, 1000], 2, 3, 255, 0, {}),
+        (2, [1000, 1000, 0], [1000, 0, 0], 2, 3, 255, 0, {}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, lats array<int>, lons array<int>, road_class int, road_speed int, "
+        "access long, route_flags long, tags map<string,string>",
+    )
+    out = merge_roads(df).collect()
+    # both orderings would close the ring -> stays two roads
+    assert sorted(r["n_members"] for r in out) == [1, 1]
