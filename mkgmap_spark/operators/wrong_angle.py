@@ -49,9 +49,14 @@ def hp_to_display(hp: np.ndarray) -> np.ndarray:
     return (hp + (1 << (DELTA_SHIFT - 1))) >> DELTA_SHIFT
 
 
+_POLE = math.pi / 2 - 1e-9
+
+
 def _bearing(lat1, lon1, lat2, lon2) -> float:
     """Rhumb-line bearing in degrees (Coord.bearingToOnRhumbLine);
-    inputs in radians."""
+    inputs in radians, latitudes clamped just inside the poles."""
+    lat1 = min(max(lat1, -_POLE), _POLE)
+    lat2 = min(max(lat2, -_POLE), _POLE)
     dlon = lon2 - lon1
     if abs(dlon) > math.pi:
         dlon = -(2 * math.pi - dlon) if dlon > 0 else (2 * math.pi + dlon)

@@ -899,6 +899,227 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# q: full style DSL (filters, addlabel, maxspeedkmh(), !~, routing
+#    attrs, continue with_actions) vs a hand-derived SQL oracle
+# --------------------------------------------------------------------------
+
+STYLE_FULL_RULESET = """
+maxspeedkmh() > 95 [0x01 resolution 18]
+highway!~'m.*' & ref=* { name '${ref|substring:1}'; addlabel 'X${ref}' } [0x02 road_class=3 road_speed=5 continue with_actions]
+highway=* { set shield='${ref|prefix:R|def:none}' } [0x03]
+"""
+
+
+def q_style_rules_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expanded rule engine end-to-end: value filters (substring /
+    prefix / def), name + addlabel label slots, maxspeedkmh() with mph
+    conversion, !~ (true on missing), routing attributes, and
+    continue-with-actions persistence."""
+    from .rules import compile_rules, parse_rules
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    hw = F.element_at(
+        F.array(*[F.lit(v) for v in ["motorway", "primary", "trunk", "residential", "track", "service"]]),
+        (F.pmod(k, F.lit(6)) + 1).cast("int"),
+    )
+    ms = F.concat(
+        (F.pmod(k, F.lit(12)) * 10).cast("string"),
+        F.when(F.pmod(k, F.lit(5)) == 0, F.lit(" mph")).otherwise(F.lit("")),
+    )
+    ref = F.when(F.pmod(k, F.lit(4)) == 0, F.concat(F.lit("A"), F.pmod(k, F.lit(100)).cast("string")))
+    tagged = part.select(
+        "p_partkey",
+        F.map_filter(
+            F.create_map(
+                F.lit("highway"), hw, F.lit("maxspeed"), ms, F.lit("ref"),
+                F.coalesce(ref, F.lit("\x00")),
+            ),
+            lambda key, v: v != F.lit("\x00"),
+        ).alias("tags"),
+    )
+    out = compile_rules(parse_rules(STYLE_FULL_RULESET), tagged)
+    return out.select(
+        "p_partkey",
+        F.explode("results").alias("r"),
+        F.col("tags_out").getItem("shield").alias("shield"),
+        F.col("tags_out").getItem("mkgmap:label:1").alias("label1"),
+        F.col("tags_out").getItem("mkgmap:label:2").alias("label2"),
+    ).select(
+        "p_partkey",
+        F.col("r.type_code").cast("int").alias("type_code"),
+        F.col("r.min_res").cast("int").alias("min_res"),
+        F.col("r.road_class").cast("int").alias("road_class"),
+        F.col("r.road_speed").cast("int").alias("road_speed"),
+        "shield",
+        "label1",
+        "label2",
+    )
+
+
+# hand-derived rule trace over the synthetic tags:
+#   kmh = (k%12)*10 * (1.61 if k%5==0 else 1), formatted to 2dp ->
+#   rule1 fires iff floor(kmh*100+0.5)/100 > 95 (terminates; no tags set)
+#   else rule2 iff hw NOT LIKE 'm%' AND ref present: label1 =
+#   substr(ref, 2), label2 = 'X'||ref, continue-with-actions persists
+#   rule3 always: shield = 'R'||ref (or 'none' when ref missing; the
+#   prefix filter null-propagates, def rescues), terminates
+Q_STYLE_FULL_SQL = """
+WITH t AS (
+  SELECT p_partkey,
+         (['motorway','primary','trunk','residential','track','service'])[(p_partkey % 6) + 1] AS hw,
+         (p_partkey % 12) * 10 AS msn,
+         (p_partkey % 5) = 0 AS is_mph,
+         CASE WHEN p_partkey % 4 = 0 THEN 'A' || CAST(p_partkey % 100 AS VARCHAR) END AS ref
+  FROM part
+), k AS (
+  SELECT *,
+         floor((CASE WHEN is_mph THEN msn * 1.61 ELSE CAST(msn AS DOUBLE) END) * 100 + 0.5) / 100 AS kmh
+  FROM t
+), staged AS (
+  SELECT p_partkey, hw, ref,
+         kmh > 95 AS r1,
+         (hw NOT LIKE 'm%') AND ref IS NOT NULL AS r2
+  FROM k
+)
+SELECT p_partkey, CAST(1 AS INT) AS type_code, CAST(18 AS INT) AS min_res,
+       CAST(0 AS INT) AS road_class, CAST(0 AS INT) AS road_speed,
+       NULL AS shield, NULL AS label1, NULL AS label2
+FROM staged WHERE r1
+UNION ALL
+SELECT p_partkey, CAST(2 AS INT), CAST(24 AS INT), CAST(3 AS INT), CAST(5 AS INT),
+       CASE WHEN ref IS NULL THEN 'none' ELSE 'R' || ref END,
+       substr(ref, 2), 'X' || ref
+FROM staged WHERE NOT r1 AND r2
+UNION ALL
+SELECT p_partkey, CAST(3 AS INT), CAST(24 AS INT), CAST(0 AS INT), CAST(0 AS INT),
+       CASE WHEN ref IS NULL THEN 'none' ELSE 'R' || ref END,
+       CASE WHEN r2 THEN substr(ref, 2) END,
+       CASE WHEN r2 THEN 'X' || ref END
+FROM staged WHERE NOT r1
+"""
+
+
+# --------------------------------------------------------------------------
+# q: apply-to-members (relation tag pushes, SubAction semantics)
+# --------------------------------------------------------------------------
+
+
+def q_apply_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relations (one per customer, members = its orders) push
+    route_ref to members via the rule engine's apply action — the
+    default relations style's bus-route pattern end-to-end."""
+    from .operators.relations import apply_pushed_to_members
+    from .rules import compile_rules, parse_rules
+
+    o = _read(spark, sf_dir, "orders")
+    members = (
+        o.groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list(F.col("o_orderkey").cast("long"))).alias("refs"))
+        .select(
+            F.col("o_custkey").cast("long").alias("id"),
+            F.create_map(
+                F.lit("type"), F.lit("route"), F.lit("route"), F.lit("bus"),
+                F.lit("ref"), F.concat(F.lit("R"), F.pmod(F.col("o_custkey"), F.lit(50)).cast("string")),
+            ).alias("tags"),
+            F.expr(
+                "transform(refs, r -> named_struct('role', 'stop', 'mtype', 'node', 'ref', r))"
+            ).alias("members"),
+        )
+    )
+    feats = o.select(
+        F.lit("node").alias("kind"),
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.map_filter(
+            F.create_map(
+                F.lit("route_ref"),
+                F.when(F.pmod(F.col("o_orderkey"), F.lit(3)) == 0, F.lit("22")).otherwise(F.lit("\x00")),
+            ),
+            lambda k, v: v != F.lit("\x00"),
+        ).alias("tags"),
+    )
+    rules = parse_rules(
+        "type=route & route=bus & ref=* { apply { "
+        "set route_ref='$(route_ref);${ref|not-contained:;:route_ref}' | '$(route_ref)' | '${ref}'; } }"
+    )
+    rel_out = compile_rules(rules, members, is_relation=True, with_pushed=True)
+    updated = apply_pushed_to_members(members, feats, rules, relations_out=rel_out)
+    return updated.select(
+        F.col("id").alias("o_orderkey"), F.col("tags").getItem("route_ref").alias("route_ref")
+    )
+
+
+Q_APPLY_MEMBERS_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0
+            THEN '22;R' || CAST(o_custkey % 50 AS VARCHAR)
+            ELSE 'R' || CAST(o_custkey % 50 AS VARCHAR) END AS route_ref
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# q: road merge (RoadMerger semantics over collinear chains)
+# --------------------------------------------------------------------------
+
+
+def q_road_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collinear per-customer road chains with alternating road_class:
+    merge_roads concatenates runs of equal attributes end-to-start
+    (angle 0, no loops) — islands of consecutive same-class segments."""
+    from pyspark.sql import Window
+
+    from .operators.merge import merge_roads
+
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    segs = o.select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.col("o_custkey").cast("long").alias("cust"),
+        (F.row_number().over(w) - 1).alias("j"),
+        F.pmod(F.col("o_orderkey"), F.lit(2)).cast("int").alias("road_class"),
+    )
+    lat = (F.pmod(F.col("cust") * C_LAT, F.lit(LAT_MOD)) - LAT_OFF).cast("int")
+    roads = segs.select(
+        "id",
+        F.array(lat, lat).alias("lats"),
+        F.array((F.col("j") * 1000).cast("int"), ((F.col("j") + 1) * 1000).cast("int")).alias("lons"),
+        "road_class",
+        F.lit(3).alias("road_speed"),
+        F.lit(255).cast("long").alias("access"),
+        F.lit(0).cast("long").alias("route_flags"),
+        F.create_map(F.lit("mkgmap:label:1"), F.concat(F.lit("C"), F.col("cust").cast("string"))).alias("tags"),
+    )
+    out = merge_roads(roads)
+    return out.select(
+        F.col("id").alias("chain_id"),
+        F.col("n_members").cast("int").alias("n_members"),
+        F.col("road_class").cast("int").alias("road_class"),
+        F.size("lats").cast("int").alias("n_points"),
+    )
+
+
+# gaps-and-islands: runs of consecutive (per customer) orders with the
+# same parity merge into one road of n+1 points
+Q_ROAD_MERGE_SQL = """
+WITH segs AS (
+  SELECT o_orderkey AS id, o_custkey AS cust,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS j,
+         CAST(o_orderkey % 2 AS INT) AS road_class
+  FROM orders
+), isl AS (
+  SELECT *, j - ROW_NUMBER() OVER (PARTITION BY cust, road_class ORDER BY j) AS island
+  FROM segs
+)
+SELECT CAST(MIN(id) AS BIGINT) AS chain_id,
+       CAST(COUNT(*) AS INT) AS n_members,
+       road_class,
+       CAST(COUNT(*) + 1 AS INT) AS n_points
+FROM isl GROUP BY cust, road_class, island
+"""
+
+
+# --------------------------------------------------------------------------
 # q: MDR-style global index (combiners/MdrBuilder.java — union of every
 #    tile's named features, sorted/deduplicated with a collation key)
 # --------------------------------------------------------------------------
@@ -1049,6 +1270,9 @@ FROM bits
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "style_rules": q_style_rules,
+    "style_rules_full": q_style_rules_full,
+    "apply_members": q_apply_members,
+    "road_merge": q_road_merge,
     "mdr_index": q_mdr_index,
     "poi_way_link": q_poi_way_link,
     "access_mask": q_access_mask,
@@ -1078,6 +1302,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "style_rules": Q_STYLE_RULES_SQL,
+    "style_rules_full": Q_STYLE_FULL_SQL,
+    "apply_members": Q_APPLY_MEMBERS_SQL,
+    "road_merge": Q_ROAD_MERGE_SQL,
     "mdr_index": Q_MDR_INDEX_SQL,
     "poi_way_link": Q_POI_WAY_LINK_SQL,
     "access_mask": Q_ACCESS_MASK_SQL,
