@@ -1,0 +1,154 @@
+"""Turn-restriction relations -> routing restriction table.
+
+Reference: reader/osm/RestrictionRelation.java — a type=restriction
+relation with from/via/to members becomes a routing restriction at the
+via node when
+
+- the restriction kind is supported (:64-67 supportedRestrictions:
+  no_/only_ right|left|straight / no_u_turn / no_entry / no_exit),
+- exactly one 'from' way, one 'to' way and one 'via' node resolve
+  (via-WAY chains are a reference extension not carried over —
+  documented divergence; the reference also warns-and-drops most
+  multi-member cases),
+- the via node is an END point of both the from and the to way
+  (RestrictionRelation.eval connectivity checks),
+
+and carries an exception bitmask over the vehicle classes
+(AccessTagsAndBits bit order): DEFAULT_EXCEPT_MASK = FOOT|EMERGENCY
+(:62), `except=v1;v2` tags OR bits in (:182-188), a
+`type=restriction:<vehicle>` prefix restricts TO that vehicle by
+clearing its bit from 0xff (:172-180 / setExceptMask:451-489).
+
+Everything is Column arithmetic + equi joins — no Python in the path.
+The restrictions table feeds RoadMerger (restricted via points) and
+the tile sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# AccessTagsAndBits vehicle flags (FOOT=1, BIKE=2, CAR=4, DELIVERY=8,
+# TRUCK=16, BUS=32, TAXI=64, EMERGENCY=128)
+_FOOT, _BIKE, _CAR, _DELIVERY, _TRUCK, _BUS, _TAXI, _EMERGENCY = (
+    1, 2, 4, 8, 16, 32, 64, 128,
+)
+DEFAULT_EXCEPT_MASK = _FOOT | _EMERGENCY  # 0x81
+
+# setExceptMask vehicle -> flag ('vehicle'/'motor_vehicle' invert)
+VEHICLE_FLAGS = {
+    "vehicle": (~DEFAULT_EXCEPT_MASK) & 0xFF,
+    "motor_vehicle": (~(_BIKE | DEFAULT_EXCEPT_MASK)) & 0xFF,
+    "psv": _TAXI | _BUS,
+    "bicycle": _BIKE,
+    "motorcar": _CAR,
+    "bus": _BUS,
+    "taxi": _TAXI,
+    "goods": _DELIVERY,
+    "hgv": _TRUCK,
+    "truck": _TRUCK,
+    "emergency": _EMERGENCY,
+    "foot": _FOOT,
+}
+
+SUPPORTED_RESTRICTIONS = [
+    "no_right_turn", "no_left_turn", "no_u_turn", "no_straight_on",
+    "only_right_turn", "only_left_turn", "only_straight_on",
+    "no_entry", "no_exit",
+]
+
+
+def _flag_map() -> F.Column:
+    return F.create_map(
+        *[x for k, v in VEHICLE_FLAGS.items() for x in (F.lit(k), F.lit(v))]
+    )
+
+
+def turn_restrictions(
+    relations: DataFrame, ways: DataFrame, nodes: DataFrame
+) -> DataFrame:
+    """relations: (id, tags, members array<struct<role, mtype, ref>>);
+    ways: (id, lats, lons); nodes: (id, lat, lon).
+
+    Output (valid restrictions only): (rel_id, restriction, except_mask,
+    via_node, from_way, to_way, via_lat, via_lon)."""
+    tags = F.col("tags")
+    rtype = tags.getItem("type")
+    is_restriction = rtype.eqNullSafe("restriction") | rtype.startswith("restriction:")
+    r = relations.filter(is_restriction).select(
+        F.col("id").alias("rel_id"), "tags", "members"
+    )
+
+    restriction = F.coalesce(tags.getItem("restriction"))
+    # type=restriction:<vehicle> applies only to that vehicle: mask
+    # starts at 0xff with the vehicle's bits cleared
+    type_vehicle = F.when(
+        rtype.startswith("restriction:"), F.expr("substring(tags['type'], 13)")
+    )
+    base_mask = F.when(
+        type_vehicle.isNotNull(),
+        F.lit(0xFF) - F.coalesce(_flag_map()[type_vehicle], F.lit(0)),
+    ).otherwise(F.lit(DEFAULT_EXCEPT_MASK))
+    # except=v1;v2 ORs bits in (split on , or ;)
+    fm = _flag_map()
+    except_mask = F.when(
+        tags.getItem("except").isNotNull(),
+        F.aggregate(
+            F.split(tags.getItem("except"), "[,;]"),
+            base_mask.cast("int"),
+            lambda acc, v: acc.bitwiseOR(F.coalesce(fm[F.trim(v)], F.lit(0))),
+        ),
+    ).otherwise(base_mask.cast("int"))
+
+    m = lambda role, mtype: F.filter(
+        F.col("members"), lambda x: (x.getField("role") == role) & (x.getField("mtype") == mtype)
+    )
+    r = r.select(
+        "rel_id",
+        restriction.alias("restriction"),
+        except_mask.alias("except_mask"),
+        m("from", "way").alias("_from"),
+        m("to", "way").alias("_to"),
+        m("via", "node").alias("_via"),
+    )
+    # exactly one of each (via-way chains and multi-from/to dropped)
+    r = r.filter(
+        F.col("restriction").isin(*SUPPORTED_RESTRICTIONS)
+        & (F.size("_from") == 1)
+        & (F.size("_to") == 1)
+        & (F.size("_via") == 1)
+    ).select(
+        "rel_id",
+        "restriction",
+        "except_mask",
+        F.expr("_from[0].ref").alias("from_way"),
+        F.expr("_to[0].ref").alias("to_way"),
+        F.expr("_via[0].ref").alias("via_node"),
+    )
+
+    via = nodes.select(
+        F.col("id").alias("via_node"), F.col("lat").alias("via_lat"), F.col("lon").alias("via_lon")
+    )
+    wends = ways.select(
+        F.col("id").alias("_wid"),
+        F.expr("lats[0]").alias("_sy"), F.expr("lons[0]").alias("_sx"),
+        F.expr("lats[size(lats) - 1]").alias("_ey"), F.expr("lons[size(lons) - 1]").alias("_ex"),
+    )
+    touches = (
+        ((F.col("_sy") == F.col("via_lat")) & (F.col("_sx") == F.col("via_lon")))
+        | ((F.col("_ey") == F.col("via_lat")) & (F.col("_ex") == F.col("via_lon")))
+    )
+    r = (
+        r.join(via, "via_node")
+        .join(wends.withColumnRenamed("_wid", "from_way"), "from_way")
+        .filter(touches)
+        .drop("_sy", "_sx", "_ey", "_ex")
+        .join(wends.withColumnRenamed("_wid", "to_way"), "to_way")
+        .filter(touches)
+        .drop("_sy", "_sx", "_ey", "_ex")
+    )
+    return r.select(
+        "rel_id", "restriction", "except_mask", "via_node", "from_way", "to_way",
+        "via_lat", "via_lon",
+    )

@@ -1120,6 +1120,161 @@ FROM isl GROUP BY cust, road_class, island
 
 
 # --------------------------------------------------------------------------
+# q: turn restrictions (RestrictionRelation validation + except masks)
+# --------------------------------------------------------------------------
+
+_TR_KINDS = ["no_left_turn", "no_right_turn", "only_straight_on", "no_u_turn", "no_parking", "only_left_turn"]
+_TR_EXCEPT = [None, "bicycle", "bicycle; psv", "hgv,foot"]
+
+
+def q_turn_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic restriction relations over a node/way chain (way n
+    joins node n to node n+1): validation (supported kinds, single
+    from/via/to, via must be an endpoint of both ways) + except-mask
+    derivation, all Column-side."""
+    from pyspark.sql import Window
+
+    from .operators.routing import turn_restrictions
+
+    o = _read(spark, sf_dir, "orders")
+    n = o.select(F.row_number().over(Window.orderBy("o_orderkey")).cast("long").alias("n"))
+    nodes = n.select(
+        F.col("n").alias("id"), lat_col("n").cast("int").alias("lat"), lon_col("n").cast("int").alias("lon")
+    )
+    cnt = nodes.count()
+    ways = n.filter(F.col("n") <= cnt - 1).select(
+        F.col("n").alias("id"),
+        F.array(lat_col("n").cast("int"), (F.pmod((F.col("n") + 1) * C_LAT, F.lit(LAT_MOD)) - LAT_OFF).cast("int")).alias("lats"),
+        F.array(lon_col("n").cast("int"), (F.pmod((F.col("n") + 1) * C_LON, F.lit(LON_MOD)) - LON_OFF).cast("int")).alias("lons"),
+    )
+    k = F.col("n")
+    kind = F.element_at(F.array(*[F.lit(x) for x in _TR_KINDS]), (F.pmod(k, F.lit(6)) + 1).cast("int"))
+    exc = F.element_at(
+        F.array(*[F.lit(x if x is not None else "\x00") for x in _TR_EXCEPT]),
+        (F.pmod(k, F.lit(4)) + 1).cast("int"),
+    )
+    rtype = F.when(F.pmod(k, F.lit(5)) == 0, F.lit("restriction:motorcar")).otherwise(F.lit("restriction"))
+    via_ref = F.when(F.pmod(k, F.lit(9)) == 0, k + 2).otherwise(k + 1)
+    rels = n.filter(F.col("n") <= cnt - 2).select(
+        F.col("n").alias("id"),
+        F.map_filter(
+            F.create_map(F.lit("type"), rtype, F.lit("restriction"), kind, F.lit("except"), exc),
+            lambda key, v: v != F.lit("\x00"),
+        ).alias("tags"),
+        F.array(
+            F.struct(F.lit("from").alias("role"), F.lit("way").alias("mtype"), k.alias("ref")),
+            F.struct(F.lit("via").alias("role"), F.lit("node").alias("mtype"), via_ref.alias("ref")),
+            F.struct(F.lit("to").alias("role"), F.lit("way").alias("mtype"), (k + 1).alias("ref")),
+        ).alias("members"),
+    )
+    out = turn_restrictions(rels, ways, nodes)
+    return out.select(
+        "rel_id", "restriction",
+        F.col("except_mask").cast("int").alias("except_mask"),
+        "via_node", "from_way", "to_way",
+    )
+
+
+# validity: kind supported (n%6 != 4 -> not 'no_parking'); via node
+# n+1 always an endpoint of ways n and n+1; the n%9==0 rows point via
+# at node n+2, valid only on a (theoretically possible) coordinate
+# collision — mirrored exactly with the same scatter arithmetic.
+# masks: base 129 (foot|emergency) or 251 (~motorcar) when n%5==0;
+# except adds bike(2) / bike+psv(98) / hgv+foot(17)
+Q_TURN_RESTRICTIONS_SQL = f"""
+WITH nums AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS n, COUNT(*) OVER () AS cnt FROM orders
+), rels AS (
+  SELECT n,
+         (['no_left_turn','no_right_turn','only_straight_on','no_u_turn','no_parking','only_left_turn'])[(n % 6) + 1] AS restriction,
+         (n % 4) AS exc_i, (n % 5) = 0 AS typed, (n % 9) = 0 AS via_skew, cnt
+  FROM nums WHERE n <= cnt - 2
+), masked AS (
+  SELECT n, restriction, via_skew, cnt,
+         CASE WHEN typed THEN 251 ELSE 129 END
+         | CASE exc_i WHEN 1 THEN 2 WHEN 2 THEN 98 WHEN 3 THEN 17 ELSE 0 END AS except_mask
+  FROM rels
+), ok AS (
+  SELECT * FROM masked
+  WHERE restriction <> 'no_parking'
+    AND (NOT via_skew OR
+         ({lat_sql('(n + 2)')} = {lat_sql('n')} AND {lon_sql('(n + 2)')} = {lon_sql('n')})
+      OR ({lat_sql('(n + 2)')} = {lat_sql('(n + 1)')} AND {lon_sql('(n + 2)')} = {lon_sql('(n + 1)')}))
+)
+SELECT CAST(n AS BIGINT) AS rel_id, restriction, CAST(except_mask AS INT) AS except_mask,
+       CAST(CASE WHEN via_skew THEN n + 2 ELSE n + 1 END AS BIGINT) AS via_node,
+       CAST(n AS BIGINT) AS from_way, CAST(n + 1 AS BIGINT) AS to_way
+FROM ok
+"""
+
+
+# --------------------------------------------------------------------------
+# q: housenumber intervals (HousenumberGenerator numbering model)
+# --------------------------------------------------------------------------
+
+
+def q_house_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Houses (orders) projected onto their customer's road, one
+    numbering interval per road side: NumberStyle O/E/B + start/end in
+    travel direction."""
+    from .operators.housenumbers import housenumber_intervals, project_houses
+
+    c = _read(spark, sf_dir, "customer")
+    roads = c.select(
+        F.col("c_custkey").cast("long").alias("road_id"),
+        F.array(lat_col("c_custkey").cast("int"), lat_col("c_custkey").cast("int")).alias("lats"),
+        F.array(lon_col("c_custkey").cast("int"), (lon_col("c_custkey") + 20000).cast("int")).alias("lons"),
+    )
+    o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    houses = o.select(
+        k.alias("house_id"),
+        (F.pmod(k, F.lit(97)) + 1).cast("int").alias("number"),
+        F.col("o_custkey").cast("long").alias("road_id"),
+        (F.pmod(F.col("o_custkey").cast("long") * C_LAT, F.lit(LAT_MOD)) - LAT_OFF
+         + F.when(F.pmod(k, F.lit(2)) == 0, 500).otherwise(-500)).cast("int").alias("hy"),
+        (F.pmod(F.col("o_custkey").cast("long") * C_LON, F.lit(LON_MOD)) - LON_OFF
+         + F.pmod(k, F.lit(19)) * 1000 + 37).cast("int").alias("hx"),
+    )
+    proj = project_houses(houses, roads)
+    return housenumber_intervals(proj).select(
+        "road_id", "side", "style",
+        F.col("start_num").cast("int").alias("start_num"),
+        F.col("end_num").cast("int").alias("end_num"),
+        F.col("n_houses").cast("int").alias("n_houses"),
+        "needs_split",
+    )
+
+
+# single-segment west-east roads: t = (hx - x0)/20000, side L iff the
+# house sits north of the road (cross = dx * (hy - y) > 0)
+Q_HOUSE_NUMBERS_SQL = f"""
+WITH houses AS (
+  SELECT o_custkey AS road_id,
+         o_orderkey AS house_id,
+         CAST(o_orderkey % 97 + 1 AS INT) AS number,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'L' ELSE 'R' END AS side,
+         (o_orderkey % 19) * 1000 + 37 AS t
+  FROM orders
+), ordered AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY road_id, side ORDER BY t, house_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY road_id, side ORDER BY t DESC, house_id DESC) AS rn_d,
+         SIGN(number - LAG(number) OVER (PARTITION BY road_id, side ORDER BY t, house_id)) AS step
+  FROM houses
+)
+SELECT CAST(road_id AS BIGINT) AS road_id, side,
+       CASE WHEN MAX(number % 2) = 0 THEN 'E' WHEN MIN(number % 2) = 1 THEN 'O' ELSE 'B' END AS style,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN number END) AS INT) AS start_num,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN number END) AS INT) AS end_num,
+       CAST(COUNT(*) AS INT) AS n_houses,
+       SUM(CASE WHEN step > 0 THEN 1 ELSE 0 END) * SUM(CASE WHEN step < 0 THEN 1 ELSE 0 END) > 0 AS needs_split
+FROM ordered
+GROUP BY road_id, side
+"""
+
+
+# --------------------------------------------------------------------------
 # q: MDR-style global index (combiners/MdrBuilder.java — union of every
 #    tile's named features, sorted/deduplicated with a collation key)
 # --------------------------------------------------------------------------
@@ -1273,6 +1428,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "style_rules_full": q_style_rules_full,
     "apply_members": q_apply_members,
     "road_merge": q_road_merge,
+    "turn_restrictions": q_turn_restrictions,
+    "house_numbers": q_house_numbers,
     "mdr_index": q_mdr_index,
     "poi_way_link": q_poi_way_link,
     "access_mask": q_access_mask,
@@ -1305,6 +1462,8 @@ ORACLES: dict[str, str] = {
     "style_rules_full": Q_STYLE_FULL_SQL,
     "apply_members": Q_APPLY_MEMBERS_SQL,
     "road_merge": Q_ROAD_MERGE_SQL,
+    "turn_restrictions": Q_TURN_RESTRICTIONS_SQL,
+    "house_numbers": Q_HOUSE_NUMBERS_SQL,
     "mdr_index": Q_MDR_INDEX_SQL,
     "poi_way_link": Q_POI_WAY_LINK_SQL,
     "access_mask": Q_ACCESS_MASK_SQL,

@@ -1,0 +1,99 @@
+"""Turn restrictions (RestrictionRelation semantics) and housenumber
+interval generation (HousenumberGenerator semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mkgmap_spark.operators.housenumbers import housenumber_intervals, project_houses
+from mkgmap_spark.operators.routing import DEFAULT_EXCEPT_MASK, turn_restrictions
+
+
+def _members(*trip):
+    return [{"role": r, "mtype": t, "ref": i} for r, t, i in trip]
+
+
+def test_turn_restrictions_validation(spark):
+    nodes = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 1000), (3, 0, 2000), (9, 500, 500)],
+        "id long, lat int, lon int",
+    )
+    ways = spark.createDataFrame(
+        [(10, [0, 0], [0, 1000]), (11, [0, 0], [1000, 2000])],
+        "id long, lats array<int>, lons array<int>",
+    )
+    rels = spark.createDataFrame(
+        [
+            # valid: via node 2 is end of both ways
+            (100, {"type": "restriction", "restriction": "no_left_turn"},
+             _members(("from", "way", 10), ("via", "node", 2), ("to", "way", 11))),
+            # unsupported restriction kind
+            (101, {"type": "restriction", "restriction": "no_parking"},
+             _members(("from", "way", 10), ("via", "node", 2), ("to", "way", 11))),
+            # via node not on the from way
+            (102, {"type": "restriction", "restriction": "no_u_turn"},
+             _members(("from", "way", 10), ("via", "node", 9), ("to", "way", 11))),
+            # except list ORs vehicle bits in
+            (103, {"type": "restriction", "restriction": "only_right_turn", "except": "bicycle; psv"},
+             _members(("from", "way", 10), ("via", "node", 2), ("to", "way", 11))),
+            # type=restriction:motorcar restricts only cars
+            (104, {"type": "restriction:motorcar", "restriction": "no_straight_on"},
+             _members(("from", "way", 10), ("via", "node", 2), ("to", "way", 11))),
+            # two from ways -> dropped
+            (105, {"type": "restriction", "restriction": "no_left_turn"},
+             _members(("from", "way", 10), ("from", "way", 11), ("via", "node", 2), ("to", "way", 11))),
+        ],
+        "id long, tags map<string,string>, "
+        "members array<struct<role: string, mtype: string, ref: long>>",
+    )
+    out = {r["rel_id"]: r for r in turn_restrictions(rels, ways, nodes).collect()}
+    assert set(out) == {100, 103, 104}
+    assert out[100]["except_mask"] == DEFAULT_EXCEPT_MASK  # foot|emergency
+    assert out[100]["via_lat"] == 0 and out[100]["via_lon"] == 1000
+    assert out[103]["except_mask"] == DEFAULT_EXCEPT_MASK | 2 | 96  # + bike + psv
+    assert out[104]["except_mask"] == 0xFF & ~4  # everything but CAR
+
+
+def test_housenumber_intervals(spark):
+    roads = spark.createDataFrame(
+        [(1, [0, 0], [0, 20000])], "road_id long, lats array<int>, lons array<int>"
+    )
+    houses = spark.createDataFrame(
+        [
+            # left side (hy > 0 on west-east road): odd numbers ascending
+            (101, 1, 1, 500, 1000),
+            (102, 3, 1, 500, 5000),
+            (103, 5, 1, 500, 9000),
+            # right side: even numbers with one order violation
+            (201, 2, 1, -500, 2000),
+            (202, 6, 1, -500, 6000),
+            (203, 4, 1, -500, 10000),
+        ],
+        "house_id long, number int, road_id long, hy int, hx int",
+    )
+    proj = project_houses(houses, roads)
+    rows = {r["house_id"]: r for r in proj.collect()}
+    assert rows[101]["side"] == "L" and rows[201]["side"] == "R"
+    assert rows[101]["t"] < rows[102]["t"] < rows[103]["t"]
+
+    iv = {(r["road_id"], r["side"]): r for r in housenumber_intervals(proj).collect()}
+    left = iv[(1, "L")]
+    assert (left["style"], left["start_num"], left["end_num"], left["n_houses"]) == ("O", 1, 5, 3)
+    assert not left["needs_split"]
+    right = iv[(1, "R")]
+    assert (right["style"], right["start_num"], right["end_num"]) == ("E", 2, 4)
+    assert right["needs_split"]  # 2 -> 6 -> 4 reverses direction
+
+
+def test_project_houses_multi_segment(spark):
+    roads = spark.createDataFrame(
+        [(1, [0, 0, 10000], [0, 10000, 10000])],
+        "road_id long, lats array<int>, lons array<int>",
+    )
+    houses = spark.createDataFrame(
+        [(1, 10, 1, 100, 5000), (2, 12, 1, 5000, 9900)],
+        "house_id long, number int, road_id long, hy int, hx int",
+    )
+    rows = {r["house_id"]: r for r in project_houses(houses, roads).collect()}
+    assert 0 <= rows[1]["t"] < 1  # first segment
+    assert 1 <= rows[2]["t"] <= 2  # second segment
