@@ -1,0 +1,88 @@
+"""Grouped-map execution without per-group Arrow overhead.
+
+``DataFrame.groupBy(...).applyInPandas`` ships every GROUP to Python
+as its own Arrow batch + pandas DataFrame; with 100k+ tiny groups the
+per-group overhead (~0.3ms) dominates the actual kernel (measured
+~50s for 150k one-row groups).  ``grouped_map_in_pandas`` keeps the
+same kernel contract but batches at the PARTITION level: repartition
+by the key columns (groups never straddle partitions), sort within
+partitions so groups are contiguous, then mapInPandas with a
+carry-over buffer for the group that may straddle two Arrow batches
+of one partition.  ~100x less crossing overhead; identical results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def grouped_map_in_pandas(
+    df: DataFrame,
+    key_cols: list[str],
+    kernel: Callable,
+    schema: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """applyInPandas semantics with per-partition batching.
+
+    ``kernel(key_tuple, group_pdf)`` returns either a pandas DataFrame
+    (default) or, when ``columns`` is given, a LIST OF ROW TUPLES — the
+    helper then builds ONE output frame per Arrow batch instead of one
+    per group (a per-group 1-row DataFrame costs ~0.5ms to construct;
+    at 100k+ groups that alone dominated the operator).
+
+    Key columns must be non-null (coalesce sentinels in — pandas
+    treats null != null, which would split groups)."""
+    d = df.repartition(*key_cols).sortWithinPartitions(*key_cols)
+
+    def run(it):
+        import numpy as np
+
+        carry: pd.DataFrame | None = None
+
+        def flush_groups(pdf: pd.DataFrame, is_last: bool):
+            nonlocal carry
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+            n = len(pdf)
+            if n == 0:
+                return
+            # group boundaries via numpy (pandas groupby iteration +
+            # per-group iloc key extraction cost ~0.5ms/group)
+            key_arrays = [pdf[k].to_numpy() for k in key_cols]
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for arr in key_arrays:
+                change[1:] |= arr[1:] != arr[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            rows_acc: list = []
+            for gi in range(len(starts)):
+                s, e = int(starts[gi]), int(ends[gi])
+                if gi == len(starts) - 1 and not is_last:
+                    carry = pdf.iloc[s:e].reset_index(drop=True)
+                    continue
+                key = tuple(arr[s] for arr in key_arrays)
+                out = kernel(key, pdf.iloc[s:e])
+                if out is None:
+                    continue
+                if columns is not None:
+                    rows_acc.extend(out)
+                elif len(out):
+                    yield out
+            if columns is not None and rows_acc:
+                yield pd.DataFrame(rows_acc, columns=columns)
+
+        prev = None
+        for pdf in it:
+            if prev is not None:
+                yield from flush_groups(prev, is_last=False)
+            prev = pdf
+        if prev is not None:
+            yield from flush_groups(prev, is_last=True)
+
+    return d.mapInPandas(run, schema)

@@ -25,15 +25,18 @@ from pyspark.sql import functions as F
 _MH_A = [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93]
 
 
-def _shingles_col(text_col: str, k: int) -> F.Column:
-    """k-word shingles as strings, JVM-side."""
-    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    n = F.size(toks)
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.expr(
-            f"transform(sequence(1, size(split(trim(coalesce({text_col}, '')), '\\\\s+')) - {k} + 1),"
-            f" i -> concat_ws(' ', slice(split(trim(coalesce({text_col}, '')), '\\\\s+'), i, {k})))"
-        )
+def _tokens_col(text_col: str) -> F.Column:
+    return F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+
+
+def _shingles_from_tokens(toks: str, k: int) -> F.Column:
+    """k-word shingles over a PRECOMPUTED tokens column.  (Building
+    them straight off the text would re-split the whole string inside
+    the per-shingle lambda — O(tokens^2) per document.)"""
+    return F.expr(
+        f"if(size({toks}) < {k}, array(concat_ws(' ', {toks})), "
+        f"transform(sequence(1, size({toks}) - {k} + 1),"
+        f" i -> concat_ws(' ', slice({toks}, i, {k}))))"
     )
 
 
@@ -82,9 +85,10 @@ def minhash_signatures(
     """doc -> array of n_hashes int64 minhashes, all JVM-side.
     The prehash array is materialized once per row so the 64
     permutation folds share it (no re-tokenization per permutation)."""
-    sh = _shingles_col(text_col, shingle_k)
-    d = docs.select(F.col(id_col).alias("doc_id"), sh.alias("_sh")).withColumn(
-        "_pre", F.expr("transform(_sh, s -> xxhash64(s))")
+    d = (
+        docs.select(F.col(id_col).alias("doc_id"), _tokens_col(text_col).alias("_toks"))
+        .withColumn("_sh", _shingles_from_tokens("_toks", shingle_k))
+        .withColumn("_pre", F.expr("transform(_sh, s -> xxhash64(s))"))
     )
     sig = F.array(
         *[
@@ -131,7 +135,9 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs (JVM set ops)."""
     sh = docs.select(
-        F.col(id_col).alias("doc_id"), F.array_distinct(_shingles_col(text_col, shingle_k)).alias("sh")
+        F.col(id_col).alias("doc_id"), _tokens_col(text_col).alias("_toks")
+    ).select(
+        "doc_id", F.array_distinct(_shingles_from_tokens("_toks", shingle_k)).alias("sh")
     )
     j = (
         candidates.join(sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
@@ -203,10 +209,11 @@ def minhash_pairs_md5(
     Output: (doc_a, doc_b, jaccard)."""
     rows = n_hashes // bands
     params = mh_params(n_hashes)
-    sh = _shingles_col(text_col, shingle_k)
     base = MD5_PREFIX_SQL_SPARK.format(s="s")
-    d = docs.select(F.col(id_col).alias("doc_id"), sh.alias("_sh")).withColumn(
-        "_pre", F.expr(f"transform(_sh, s -> {base})")
+    d = (
+        docs.select(F.col(id_col).alias("doc_id"), _tokens_col(text_col).alias("_toks"))
+        .withColumn("_sh", _shingles_from_tokens("_toks", shingle_k))
+        .withColumn("_pre", F.expr(f"transform(_sh, s -> {base})"))
     )
     sig = F.array(
         *[

@@ -129,34 +129,82 @@ def apply_pushed_to_members(
             F.col("p.ctx").alias("ctx"),
         )
 
-    def kernel(key, pdf):
+    def run_batches(it):
+        # batch-level executor: one column extraction per Arrow batch,
+        # numpy group boundaries, straight python over index ranges —
+        # per-member pandas slicing would cost ~0.5ms x |members|.
+        # Rows arrive repartitioned by (kind, id) and sorted by
+        # (kind, id, rel_id, push_idx, m_idx), so groups are contiguous
+        # and already in execution order.
+        import numpy as _np
         import pandas as _pd
 
         sub_idx_of = {id(a): i for i, a in enumerate(subs)}
-        kind, mid = key[0], int(key[1])
-        pdf = pdf.sort_values(["rel_id", "push_idx", "m_idx"], kind="mergesort")
-        tags = dict(pdf.iloc[0]["tags"]) if pdf.iloc[0]["tags"] is not None else {}
-        nested_rows = []
-        seen_once: set[tuple] = set()
-        seq = 0
-        for r in pdf.itertuples():
-            sub = subs[int(r.sub_idx)]
-            if sub.role is not None and sub.role != r.role:
-                continue
-            if sub.once:
-                k = (int(r.rel_id), int(r.push_idx))
-                if k in seen_once:
-                    continue
-                seen_once.add(k)
-            ctx = dict(r.ctx) if r.ctx is not None else {}
-            tags, nested = apply_sub_to_member(sub, ctx, tags, member_is_relation=kind == "relation")
-            for a, nctx in nested:
-                nested_rows.append((mid, sub_idx_of[id(a)], nctx, seq))
-                seq += 1
-        return _pd.DataFrame(
-            [(kind, mid, tags, nested_rows)],
-            columns=["kind", "id", "tags", "nested"],
-        )
+        carry: _pd.DataFrame | None = None
+
+        def process(pdf, is_last):
+            nonlocal carry
+            if carry is not None and len(carry):
+                pdf = _pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+            n = len(pdf)
+            if n == 0:
+                return None
+            kinds = pdf["kind"].to_numpy()
+            ids = pdf["id"].to_numpy()
+            change = _np.zeros(n, dtype=bool)
+            change[0] = True
+            change[1:] = (ids[1:] != ids[:-1]) | (kinds[1:] != kinds[:-1])
+            starts = _np.flatnonzero(change)
+            ends = _np.append(starts[1:], n)
+            if not is_last:
+                carry = pdf.iloc[int(starts[-1]) :].reset_index(drop=True)
+                starts, ends = starts[:-1], ends[:-1]
+            if len(starts) == 0:
+                return None
+            rel_ids = pdf["rel_id"].to_numpy()
+            push_idxs = pdf["push_idx"].to_numpy()
+            sub_idxs = pdf["sub_idx"].to_numpy()
+            roles = pdf["role"].to_numpy()
+            ctxs = pdf["ctx"].to_numpy()
+            tagss = pdf["tags"].to_numpy()
+            rows = []
+            for g in range(len(starts)):
+                s, e = int(starts[g]), int(ends[g])
+                kind, mid = kinds[s], int(ids[s])
+                is_rel = kind == "relation"
+                tags = dict(tagss[s]) if tagss[s] is not None else {}
+                nested_rows = []
+                seen_once: set[tuple] = set()
+                seq = 0
+                for i in range(s, e):
+                    sub = subs[int(sub_idxs[i])]
+                    if sub.role is not None and sub.role != roles[i]:
+                        continue
+                    if sub.once:
+                        k = (int(rel_ids[i]), int(push_idxs[i]))
+                        if k in seen_once:
+                            continue
+                        seen_once.add(k)
+                    ctx = dict(ctxs[i]) if ctxs[i] is not None else {}
+                    tags, nested = apply_sub_to_member(sub, ctx, tags, member_is_relation=is_rel)
+                    for a, nctx in nested:
+                        nested_rows.append((mid, sub_idx_of[id(a)], nctx, seq))
+                        seq += 1
+                rows.append((kind, mid, tags, nested_rows))
+            return _pd.DataFrame(rows, columns=["kind", "id", "tags", "nested"])
+
+        prev = None
+        for pdf in it:
+            if prev is not None:
+                out = process(prev, is_last=False)
+                if out is not None:
+                    yield out
+            prev = pdf
+        if prev is not None:
+            out = process(prev, is_last=True)
+            if out is not None:
+                yield out
 
     for _ in range(max_rounds):
         if pushes.limit(1).count() == 0:
@@ -172,7 +220,10 @@ def apply_pushed_to_members(
             )
             .join(features.select("kind", "id", "tags"), ["kind", "id"])
         )
-        result = x.groupBy("kind", "id").applyInPandas(kernel, _PUSH_APPLY_SCHEMA).persist()
+        d = x.repartition("kind", "id").sortWithinPartitions(
+            "kind", "id", "rel_id", "push_idx", "m_idx"
+        )
+        result = d.mapInPandas(run_batches, _PUSH_APPLY_SCHEMA).persist()
         upd = result.select("kind", "id", F.col("tags").alias("_new_tags"))
         features = (
             features.join(upd, ["kind", "id"], "left")
