@@ -28,9 +28,10 @@ def plan_of(df) -> str:
 
 def grab(name: str, df, want: list[str], lines: int = 28) -> str:
     p = plan_of(df)
-    found = {w: (w in p) for w in want}
+    # a leading '!' marks a feature that must NOT appear in the plan
+    found = {w: (w[1:] not in p) if w.startswith("!") else (w in p) for w in want}
     head = "\n".join(p.splitlines()[:lines])
-    checks = "\n".join(f"- `{w}`: {'✅' if ok else '❌ MISSING'}" for w, ok in found.items())
+    checks = "\n".join(f"- `{w}`: {'✅' if ok else '❌ VIOLATION'}" for w, ok in found.items())
     return f"## {name}\n\n{checks}\n\n```\n{head}\n```\n"
 
 
@@ -66,10 +67,20 @@ def main() -> None:
              ["HashAggregate", "hashpartitioning", "AdaptiveSparkPlan"])
     )
 
-    # 4. knn broadcast: window after broadcast join
+    # 4. knn dispatch: at sf0.01 the right side is bounded (100 rows,
+    # under the broadcast threshold) -> broadcast strategy; the
+    # sf-scaled path is the cell-ring expansion, below
     sections.append(
-        grab("knn_join (broadcast + top-k window)", QUERIES["knn_join"](spark, SF),
-             ["BroadcastNestedLoopJoin", "Window", "AdaptiveSparkPlan"])
+        grab("knn_join (dispatch: bounded right side -> broadcast)", QUERIES["knn_join"](spark, SF),
+             ["Window", "AdaptiveSparkPlan"])
+    )
+
+    # 4b. knn_cells: the scale path must be pure equi-joins — no
+    # BroadcastNestedLoopJoin / CartesianProduct anywhere
+    sections.append(
+        grab("knn_cells (scale path: equi-joins only)", QUERIES["knn_cells"](spark, SF),
+             ["hashpartitioning", "AdaptiveSparkPlan",
+              "!BroadcastNestedLoopJoin", "!CartesianProduct"])
     )
 
     # 5. lineitem_agg: predicate pushdown + partial agg
@@ -82,6 +93,39 @@ def main() -> None:
     sections.append(
         grab("style_rules (compiled rule fold, single projection)",
              QUERIES["style_rules"](spark, SF), ["explode", "codegen id"])  # no shuffle: plain codegen plan
+    )
+
+    # 7. the full-DSL rule fold: ONE aggregate expression, zero
+    # shuffles before the explode, no join anywhere
+    sections.append(
+        grab("style_rules_full (linear aggregate fold)",
+             QUERIES["style_rules_full"](spark, SF),
+             ["explode", "!Exchange", "!Join"], lines=8)
+    )
+
+    # 8. the full default style compiles + analyzes in bounded time
+    import time
+
+    from mkgmap_spark.rules import compile_rules, parse_rules
+
+    base = "/root/reference/resources/styles/default"
+    rules = parse_rules(open(f"{base}/lines").read(),
+                        resolver=lambda pth: open(f"{base}/{pth}").read())
+    df = spark.createDataFrame(
+        [(1, {"highway": "primary"}, [0, 1000], [0, 1000])],
+        "id long, tags map<string,string>, lats array<int>, lons array<int>",
+    )
+    t0 = time.time()
+    out = compile_rules(rules, df, id_col="id")
+    build = time.time() - t0
+    t0 = time.time()
+    out.schema  # forces analysis
+    analyze = time.time() - t0
+    sections.append(
+        f"## default style compile (266 rules incl. includes)\n\n"
+        f"- plan build {build:.2f}s, Catalyst analysis {analyze:.2f}s "
+        f"(round-1 per-rule fold hit multiplicative expression blow-up at 6 rules; "
+        f"the aggregate fold is linear)\n"
     )
 
     print("# PLANS — physical-plan audit (explain(\"formatted\") evidence)\n")
