@@ -127,3 +127,51 @@ def span_sequence_fingerprint(documents: DataFrame) -> DataFrame:
         "  p -> p.v), '\\u0002')"
     )
     return documents.select("doc_id", F.md5(seq).alias("span_fp"))
+
+
+def parse_delete_tags_spec(text: str) -> tuple[list[str], list[str]]:
+    """Parse a delete-tags-file (OsmMapDataSource.readDeleteTagsFile:
+    290-327): one ``key=value`` per line, ``key=*`` deletes the key for
+    any value; '#'/';' comment lines."""
+    star_keys: list[str] = []
+    pairs: list[str] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or line.startswith(";"):
+            continue
+        parts = line.split("=")
+        if len(parts) != 2:
+            continue  # reference logs and skips bad lines
+        k, v = parts[0].strip(), parts[1].strip()
+        if v == "*":
+            star_keys.append(k)
+        else:
+            pairs.append(f"{k}={v}")
+    return star_keys, pairs
+
+
+def delete_tags_filter(
+    df: DataFrame, spec: str, tags_col: str = "tags", delete_fixme: bool = True
+) -> DataFrame:
+    """The scan-time delete-tags-file filter (OsmHandler.keepTag:
+    102-124): drop configured key=value pairs (or whole keys for
+    ``key=*``) from every element's tag map, plus — mirroring the
+    reference's setDeleteFixmeValues — values matching the FIXME
+    pattern ``(?i)fix[ _]?+me`` (>= 5 chars) unless the KEY itself is
+    fixme.  Pure map_filter Columns; Catalyst prunes before the rule
+    engine ever sees the tags."""
+    star_keys, pairs = parse_delete_tags_spec(spec)
+    col = F.col(tags_col)
+
+    def keep(k: Column, v: Column) -> Column:
+        cond = F.lit(True)
+        if star_keys:
+            cond = cond & ~k.isin(*star_keys)
+        if pairs:
+            cond = cond & ~F.concat(k, F.lit("="), v).isin(*pairs)
+        if delete_fixme:
+            fixme_val = (F.length(v) >= 5) & v.rlike(r"^(?i)fix[ _]?+me$") & ~k.isin("fixme", "FIXME")
+            cond = cond & ~fixme_val
+        return cond
+
+    return df.withColumn(tags_col, F.map_filter(col, keep))

@@ -182,3 +182,79 @@ def smoothing_filter(df: DataFrame, gshift: int) -> DataFrame:
     return df.withColumn("_g", kernel("lats", "lons")).withColumn(
         "lats", F.col("_g.lats")
     ).withColumn("lons", F.col("_g.lons")).drop("_g")
+
+
+def line_size_splitter(df: DataFrame, shift: int = 0) -> DataFrame:
+    """Split lines whose bounding box exceeds the 15-bit tile dimension
+    (LineSizeSplitterFilter.java:36-57: maxSize = min(2^24-1,
+    max(0x7fff << shift, 0x8000))).
+
+    Exact reference algorithm: first densify single segments longer
+    than maxSize-10 by recursive midpoint insertion
+    (splitLinesToMaxSize), then scan emitting a part whenever the
+    running bbox dimension exceeds maxSize (consecutive parts share
+    the boundary point).  Per-way Arrow kernel; adds ``part``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    max_size = min((1 << 24) - 1, max(0x7FFF << shift, 0x8000))
+    seg_max = max_size - 10
+    keep_cols = [c for c in df.columns if c not in ("lats", "lons")]
+
+    def kernel(it):
+        for pdf in it:
+            ids = pdf[keep_cols]
+            las = pdf["lats"].tolist()
+            los = pdf["lons"].tolist()
+            rows = []
+            for r in range(len(las)):
+                la = [int(v) for v in las[r]]
+                lo = [int(v) for v in los[r]]
+                meta = tuple(ids.iloc[r])
+                y0, y1 = min(la), max(la)
+                x0, x1 = min(lo), max(lo)
+                if max(y1 - y0, x1 - x0) < max_size:
+                    rows.append(meta + (0, la, lo))
+                    continue
+                # densify long segments (midpoint insertion, from the end)
+                i = len(la) - 2
+                while i >= 0:
+                    if max(abs(la[i + 1] - la[i]), abs(lo[i + 1] - lo[i])) > seg_max:
+                        la.insert(i + 1, (la[i] + la[i + 1]) // 2)
+                        lo.insert(i + 1, (lo[i] + lo[i + 1]) // 2)
+                        i += 1
+                    else:
+                        i -= 1
+                # greedy bbox scan
+                part = 0
+                cur_la: list[int] = []
+                cur_lo: list[int] = []
+                bb = [1 << 30, 1 << 30, -(1 << 30), -(1 << 30)]
+
+                def add(bb, y, x):
+                    bb[0] = min(bb[0], y); bb[1] = min(bb[1], x)
+                    bb[2] = max(bb[2], y); bb[3] = max(bb[3], x)
+
+                prev = None
+                for y, x in zip(la, lo):
+                    add(bb, y, x)
+                    if max(bb[2] - bb[0], bb[3] - bb[1]) > max_size:
+                        rows.append(meta + (part, cur_la, cur_lo))
+                        part += 1
+                        cur_la, cur_lo = [prev[0]], [prev[1]]
+                        bb = [prev[0], prev[1], prev[0], prev[1]]
+                        add(bb, y, x)
+                    cur_la.append(y)
+                    cur_lo.append(x)
+                    prev = (y, x)
+                if len(cur_la) > 1:
+                    rows.append(meta + (part, cur_la, cur_lo))
+            yield pd.DataFrame(
+                rows, columns=keep_cols + ["part", "lats", "lons"]
+            )
+
+    schema_prefix = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name in keep_cols)
+    return df.mapInPandas(
+        kernel, f"{schema_prefix}, part int, lats array<int>, lons array<int>"
+    )

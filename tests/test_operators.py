@@ -413,3 +413,59 @@ def test_merge_roads_no_closed_way(spark):
     out = merge_roads(df).collect()
     # both orderings would close the ring -> stays two roads
     assert sorted(r["n_members"] for r in out) == [1, 1]
+
+
+def test_delete_tags_filter(spark):
+    from mkgmap_spark.operators.decode import delete_tags_filter
+
+    spec = """
+    # drop these
+    created_by=*
+    highway=proposed
+    ; comment style two
+    bad line ignored
+    """
+    df = spark.createDataFrame(
+        [
+            (1, {"created_by": "editor", "highway": "primary", "name": "x"}),
+            (2, {"highway": "proposed", "name": "y"}),
+            (3, {"note": "FIX ME", "fixme": "continue here", "name": "fixme"}),
+        ],
+        "id long, tags map<string,string>",
+    )
+    out = {r["id"]: dict(r["tags"]) for r in delete_tags_filter(df, spec).collect()}
+    assert out[1] == {"highway": "primary", "name": "x"}  # created_by=* dropped
+    assert out[2] == {"name": "y"}  # highway=proposed dropped
+    # FIXME-pattern values dropped (>=5 chars), fixme KEY kept,
+    # 5-char 'fixme' value dropped
+    assert out[3] == {"fixme": "continue here"}
+
+
+def test_line_size_splitter(spark):
+    from mkgmap_spark.operators.simplify import line_size_splitter
+
+    max_size = 0x7FFF
+    small = ([0, 100, 200], [0, 100, 200])
+    # line spanning ~3x the limit in lon, with one long segment that
+    # must be densified before the bbox scan
+    big_la = [0, 0, 0]
+    big_lo = [0, 90_000, 100_000]
+    df = spark.createDataFrame(
+        [(1, small[0], small[1]), (2, big_la, big_lo)],
+        "id long, lats array<int>, lons array<int>",
+    )
+    out = line_size_splitter(df, shift=0).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id[1]) == 1 and by_id[1][0]["part"] == 0
+    parts = sorted(by_id[2], key=lambda r: r["part"])
+    assert len(parts) >= 3
+    # each part under the limit; consecutive parts share a point
+    for p in parts:
+        assert max(p["lats"]) - min(p["lats"]) <= max_size
+        assert max(p["lons"]) - min(p["lons"]) <= max_size
+    for a, b in zip(parts, parts[1:]):
+        assert a["lats"][-1] == b["lats"][0] and a["lons"][-1] == b["lons"][0]
+    # no geometry lost: the x-extent is covered
+    assert parts[0]["lons"][0] == 0 and parts[-1]["lons"][-1] == 100_000
