@@ -1,18 +1,23 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(deterministic fake documented below / NotImplementedError for real
-codecs) — but the Spark-side plumbing is real and tested: schema,
-partition-preserving mapInPandas batches, Arrow batch shapes, and the
-metadata discipline a 100-TB multimodal table needs (never explode
-binary blobs through a shuffle; process in place, emit features).
+IMAGE decode is REAL: payloads are actual PNGs (the container ships no
+image libraries, so functions/png.py implements the public PNG format
+in numpy + stdlib zlib — encode, full five-filter decode, nearest
+resize).  Audio/video kinds still raise NotImplementedError (no codec
+in the container; the batch contract is the swap-in point for
+torchaudio/pyav).  The Spark-side plumbing is the part that matters at
+100 TB and is fully tested: schema, partition-preserving mapInPandas
+batches, Arrow batch shapes, and the discipline of never exploding
+binary blobs through a shuffle — process in place, emit fixed-width
+features, join the tiny feature table back by doc_id.
 
 Pipeline shape:
 
     media(doc_id, media_ref, kind, payload binary, meta struct)
-      -> decode_media (mapInPandas, per-batch)      [STUB]
-      -> feature columns (width, height, n_frames, fingerprint)
+      -> decode_media (mapInPandas, per-batch)      [real PNG decode]
+      -> feature columns (width, height, channel stats, thumbnail
+         fingerprint via nearest-resize)
       -> tiny feature table joins back to documents by doc_id
 """
 
@@ -29,54 +34,76 @@ MEDIA_SCHEMA = "doc_id string, media_ref string, kind string, payload binary, wi
 
 
 def fake_payload(media_ref: str, w: int, h: int) -> bytes:
-    """Deterministic stand-in for an encoded image: seeded bytes.
-    Real codecs are out of scope in this container (no PIL/ffmpeg)."""
+    """Deterministic REAL PNG payload: a seeded gradient+noise RGB
+    image encoded with the numpy PNG codec (functions/png.py) — the
+    decode path exercises actual format parsing, zlib inflate and
+    filter reconstruction, not a byte-blob fake."""
+    from ..functions.png import encode_png
+
     seed = int(hashlib.md5(media_ref.encode()).hexdigest()[:8], 16)
     rng = np.random.RandomState(seed)
-    return rng.bytes(min(w * h, 4096))
+    w = max(1, min(int(w), 64))
+    h = max(1, min(int(h), 64))
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+            rng.randint(0, 256, size=(h, w), dtype=np.uint16).astype(np.uint8),
+        ],
+        axis=2,
+    )
+    return encode_png(img)
 
 
 def decode_media_features(media: DataFrame) -> DataFrame:
     """Extract per-media features with one Arrow pass.
 
-    STUB decode: a real deployment swaps `_decode_stub` for a codec
-    call (PIL / torchaudio / pyav); the batch contract stays the same —
-    binary in, fixed-width numeric features out, no Python object
-    columns crossing batch boundaries.
+    REAL decode for PNG image payloads (functions/png.py); other kinds
+    (audio/video) raise NotImplementedError — the batch contract is
+    where a deployment swaps in torchaudio/pyav: binary in,
+    fixed-width numeric features out, no Python object columns
+    crossing batch boundaries.
     """
-
-    def _decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-        """Deterministic fake decode: byte histogram moments stand in
-        for pixel statistics.  Raises for kinds we cannot fake."""
-        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-        if len(arr) == 0:
-            return np.zeros(3)
-        return np.array([arr.mean(), arr.std(), float(len(arr))])
+    from ..functions.png import decode_png, is_png, resize_nearest
 
     def kernel(it):
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            feats = np.zeros((len(pdf), 3), dtype=np.float64)
-            fps = np.empty(len(pdf), dtype=object)
-            for i, row in enumerate(pdf.itertuples()):
-                if row.kind not in ("image", "thumb"):
+            n = len(pdf)
+            widths = np.zeros(n, dtype=np.int32)
+            heights = np.zeros(n, dtype=np.int32)
+            means = np.zeros((n, 3), dtype=np.float64)
+            fps = np.empty(n, dtype=object)
+            kinds = pdf["kind"].tolist()
+            payloads = pdf["payload"].tolist()
+            for i in range(n):
+                if kinds[i] not in ("image", "thumb"):
                     raise NotImplementedError(
-                        f"decode for kind={row.kind!r} needs a codec not present in this container"
+                        f"decode for kind={kinds[i]!r} needs a codec not present in this container"
                     )
-                feats[i] = _decode_stub(row.payload, row.width, row.height)
-                fps[i] = hashlib.md5(row.payload or b"").hexdigest()
-            out = pdf[["doc_id", "media_ref", "kind", "width", "height"]].copy()
-            out["mean_byte"] = feats[:, 0]
-            out["std_byte"] = feats[:, 1]
-            out["n_bytes"] = feats[:, 2].astype(np.int64)
-            out["payload_md5"] = fps
+                img = decode_png(payloads[i]) if is_png(payloads[i]) else None
+                if img is None:
+                    raise ValueError("image payload is not a PNG")
+                heights[i], widths[i] = img.shape[0], img.shape[1]
+                chan = img.reshape(-1, img.shape[2]).mean(axis=0)
+                means[i, : len(chan)] = chan[:3]
+                thumb = resize_nearest(img, 8, 8)
+                fps[i] = hashlib.md5(thumb.tobytes()).hexdigest()
+            out = pdf[["doc_id", "media_ref", "kind"]].copy()
+            out["width"] = widths
+            out["height"] = heights
+            out["mean_r"] = means[:, 0]
+            out["mean_g"] = means[:, 1]
+            out["mean_b"] = means[:, 2]
+            out["thumb_md5"] = fps
             yield out
 
     return media.mapInPandas(
         kernel,
         "doc_id string, media_ref string, kind string, width int, height int, "
-        "mean_byte double, std_byte double, n_bytes long, payload_md5 string",
+        "mean_r double, mean_g double, mean_b double, thumb_md5 string",
     )
 
 
