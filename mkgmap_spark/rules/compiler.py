@@ -266,74 +266,64 @@ def _compile_alternatives(templates: list[Template], el_tags: str, local_tags: s
 
 
 # ---------------------------------------------------------------- actions
-def _compile_actions(
-    actions: list[Action],
-    tags: str,
-    sub_index: dict[int, int],
-    pushed_adds: list[str],
-    is_relation: bool = False,
-) -> str:
-    """Thread the tag map through an action list; apply actions append
-    (sub_idx, snapshot-of-tags-at-that-point) structs to pushed_adds."""
-    cur = tags
-    for a in actions:
-        if a.kind == "delete":
-            cur = _map_del(cur, a.key)
-        elif a.kind == "deletealltags":
-            k, v = _fresh("zk"), _fresh("zv")
-            cur = f"map_filter({cur}, ({k}, {v}) -> false)"
-        elif a.kind == "rename":
-            fv = _tag(cur, a.key)
-            cur = _iff(f"{fv} is null", cur, _map_del(_map_set(cur, a.to, fv), a.key))
-        elif a.kind in ("echo", "echotags"):
-            pass
-        elif a.kind in ("set", "add"):
-            val = _compile_alternatives(a.values, cur, cur)
-            if a.kind == "add":
-                cur = _iff(
-                    f"{_tag(cur, a.key)} is not null or ({val}) is null",
-                    cur,
-                    _map_set(cur, a.key, f"({val})"),
-                )
-            else:
-                cur = _iff(f"({val}) is null", cur, _map_set(cur, a.key, f"({val})"))
-        elif a.kind in ("setaccess", "addaccess"):
-            val = f"({_compile_alternatives(a.values, cur, cur)})"
-            updated = cur
-            for key in ACCESS_TAG_KEYS:
-                if a.kind == "setaccess":
-                    updated = _map_set(updated, key, val)
-                else:
-                    updated = _iff(
-                        f"{_tag(updated, key)} is not null", updated, _map_set(updated, key, val)
-                    )
-            cur = _iff(f"{val} is null", cur, updated)
-        elif a.kind == "name":
-            val = f"({_compile_alternatives(a.values, cur, cur)})"
-            cur = _iff(
-                f"{_tag(cur, 'mkgmap:label:1')} is null and {val} is not null",
-                _map_set(cur, "mkgmap:label:1", val),
+def _compile_one_action(a: Action, cur: str) -> str | None:
+    """ONE action over the tag map expression ``cur`` -> new map
+    expression, or None for no tag change (echo/apply).
+
+    Size discipline: ``cur`` is always the LAMBDA VARIABLE field
+    ``a.tags`` (each action is its own fold step), so the bounded
+    number of times an action references it costs nothing.  Chaining
+    actions textually instead (each embedding the previous expression
+    3-12 times) made expression size EXPONENTIAL in the action list —
+    the default points style (addlabel chains) never finished
+    compiling."""
+    if a.kind == "delete":
+        return _map_del(cur, a.key)
+    if a.kind == "deletealltags":
+        k, v = _fresh("zk"), _fresh("zv")
+        return f"map_filter({cur}, ({k}, {v}) -> false)"
+    if a.kind == "rename":
+        fv = _tag(cur, a.key)
+        return _iff(f"{fv} is null", cur, _map_del(_map_set(cur, a.to, fv), a.key))
+    if a.kind in ("echo", "echotags", "apply"):
+        return None
+    if a.kind in ("set", "add"):
+        val = _compile_alternatives(a.values, cur, cur)
+        if a.kind == "add":
+            return _iff(
+                f"{_tag(cur, a.key)} is not null or ({val}) is null",
                 cur,
+                _map_set(cur, a.key, f"({val})"),
             )
-        elif a.kind == "addlabel":
-            val = f"({_compile_alternatives(a.values, cur, cur)})"
-            labels = [f"mkgmap:label:{i}" for i in range(1, 5)]
-            branches = [f"WHEN {val} is null THEN {cur}"]
-            for i, lbl in enumerate(labels):
-                dup = " or ".join(f"{val} <=> {_tag(cur, prev)}" for prev in labels[:i]) or "false"
-                branches.append(
-                    f"WHEN {_tag(cur, lbl)} is null THEN "
-                    + _iff(f"({dup})", cur, _map_set(cur, lbl, val))
-                )
-            cur = "(CASE " + " ".join(branches) + f" ELSE {cur} END)"
-        elif a.kind == "apply":
-            if is_relation:
-                pushed_adds.append(
-                    f"named_struct('sub_idx', cast({sub_index[id(a)]} as int), 'ctx', {cur})"
-                )
+        return _iff(f"({val}) is null", cur, _map_set(cur, a.key, f"({val})"))
+    if a.kind in ("setaccess", "addaccess"):
+        val = f"({_compile_alternatives(a.values, cur, cur)})"
+        delta = "map(" + ", ".join(f"{q(k)}, {val}" for k in ACCESS_TAG_KEYS) + ")"
+        if a.kind == "setaccess":
+            updated = f"map_concat({cur}, {delta})"  # LAST_WIN: delta wins
         else:
-            raise ValueError(f"unknown action kind {a.kind!r}")
-    return cur
+            # addaccess: existing keys win -> put the delta FIRST
+            updated = f"map_concat({delta}, {cur})"
+        return _iff(f"{val} is null", cur, updated)
+    if a.kind == "name":
+        val = f"({_compile_alternatives(a.values, cur, cur)})"
+        return _iff(
+            f"{_tag(cur, 'mkgmap:label:1')} is null and {val} is not null",
+            _map_set(cur, "mkgmap:label:1", val),
+            cur,
+        )
+    if a.kind == "addlabel":
+        val = f"({_compile_alternatives(a.values, cur, cur)})"
+        labels = [f"mkgmap:label:{i}" for i in range(1, 5)]
+        branches = [f"WHEN {val} is null THEN {cur}"]
+        for i, lbl in enumerate(labels):
+            dup = " or ".join(f"{val} <=> {_tag(cur, prev)}" for prev in labels[:i]) or "false"
+            branches.append(
+                f"WHEN {_tag(cur, lbl)} is null THEN "
+                + _iff(f"({dup})", cur, _map_set(cur, lbl, val))
+            )
+        return "(CASE " + " ".join(branches) + f" ELSE {cur} END)"
+    raise ValueError(f"unknown action kind {a.kind!r}")
 
 
 # ------------------------------------------------------------- predicates
@@ -583,10 +573,10 @@ def _dispatch(steps: list[str], lo: int, hi: int) -> str:
     return f"if(i <= {mid + 1}, {_dispatch(steps, lo, mid)}, {_dispatch(steps, mid + 1, hi)})"
 
 
-def _acc_struct(tags: str, results: str, done: str, fin: str, pushed: str) -> str:
+def _acc_struct(tags: str, results: str, done: str, fin: str, pushed: str, m: str) -> str:
     return (
         f"named_struct('tags', {tags}, 'results', {results}, 'done', {done}, "
-        f"'fin', {fin}, 'pushed', {pushed})"
+        f"'fin', {fin}, 'pushed', {pushed}, 'm', {m})"
     )
 
 
@@ -621,33 +611,41 @@ def compile_rules(
 
     steps: list[str] = []
 
-    def make_main_step(r: Rule, idx: int) -> str:
-        # the whole step is IF(match, <struct with changes>, a): a
-        # non-matching rule costs one short-circuited predicate and no
-        # struct allocation, and `not a.done` is tested FIRST so every
-        # step after the terminating rule is ~2 node evals
-        tags = "a.tags"
-        match = f"(not a.done and coalesce({compile_pred(r.pred, tags)}, false))"
-        pushed_adds: list[str] = []
-        acted = (
-            _compile_actions(r.actions, tags, sub_index, pushed_adds, is_relation)
-            if r.actions
-            else tags
-        )
+    _KEEP_M_FALSE = _acc_struct("a.tags", "a.results", "a.done", "a.fin", "a.pushed", "false")
+
+    def action_steps(r: Rule):
+        """One fold step PER ACTION, each gated on the accumulator's
+        rule-matched flag ``a.m`` and referencing only the lambda
+        variable — expression size stays linear in the total action
+        count (textually chaining the list embedded each previous
+        expression 3-12 times: exponential; the default points style's
+        addlabel chains never finished compiling that way)."""
+        emitted = 0
+        for a in r.actions:
+            if a.kind == "apply":
+                if is_relation:
+                    p = f"named_struct('sub_idx', cast({sub_index[id(a)]} as int), 'ctx', a.tags)"
+                    changed = _acc_struct(
+                        "a.tags", "a.results", "a.done", "a.fin",
+                        f"array_append(a.pushed, {p})", "a.m",
+                    )
+                    steps.append(_iff("a.m", changed, "a"))
+                    emitted += 1
+                continue
+            new_tags = _compile_one_action(a, "a.tags")
+            if new_tags is None:
+                continue
+            changed = _acc_struct(new_tags, "a.results", "a.done", "a.fin", "a.pushed", "a.m")
+            steps.append(_iff("a.m", changed, "a"))
+            emitted += 1
+        return emitted
+
+    def make_match_step(r: Rule, idx: int, has_consumers: bool) -> str:
+        # a non-matching rule costs one short-circuited predicate and
+        # (usually) no struct allocation; `not a.done` is tested FIRST
+        # so every step after the terminating rule is ~2 node evals.
+        match = f"(not a.done and coalesce({compile_pred(r.pred, 'a.tags')}, false))"
         gt = r.gtype
-        persists = is_relation or gt is None or (not r.cont) or r.with_actions
-        new_tags = tags
-        if persists:
-            t = acted
-            # default_name persists on the terminating emission, gated
-            # on a finalize section existing (ActionRule: the addTag
-            # sits inside the finalizeRule != null block)
-            if gt is not None and gt.default_name is not None and not r.cont and fin:
-                t = _map_set(t, "mkgmap:default_name", q(gt.default_name))
-            new_tags = t
-        new_pushed = "a.pushed"
-        for p in pushed_adds:
-            new_pushed = f"array_append({new_pushed}, {p})"
         new_results = "a.results"
         new_done = "a.done"
         if gt is not None:
@@ -661,11 +659,32 @@ def compile_rules(
             new_results = f"array_append(a.results, {entry})"
             if not r.cont:
                 new_done = "true"
-        changed = _acc_struct(new_tags, new_results, new_done, "a.fin", new_pushed)
-        return _iff(match, changed, "a")
+        changed = _acc_struct("a.tags", new_results, new_done, "a.fin", "a.pushed", "true")
+        if not has_consumers:
+            # no trailing m-gated steps read m before the next match
+            # step overwrites it — stale m is harmless, skip the reset
+            return _iff(match, changed, "a")
+        # lazy reset: allocate the m=false struct only when a stale
+        # true flag must be cleared
+        return _iff(match, changed, _iff("a.m", _KEEP_M_FALSE, "a"))
 
-    for idx, r in enumerate(main):
-        steps.append(make_main_step(r, idx))
+    for r_idx, r in enumerate(main):
+        gt = r.gtype
+        persists = is_relation or gt is None or (not r.cont) or r.with_actions
+        dn_step = gt is not None and gt.default_name is not None and not r.cont and bool(fin) and persists
+        runs_actions = persists and bool(r.actions)
+        steps.append(make_match_step(r, r_idx, runs_actions or dn_step))
+        if runs_actions:
+            action_steps(r)
+        # default_name persists on the terminating emission, gated on a
+        # finalize section existing (ActionRule: the addTag sits inside
+        # the finalizeRule != null block)
+        if dn_step:
+            changed = _acc_struct(
+                _map_set("a.tags", "mkgmap:default_name", q(gt.default_name)),
+                "a.results", "a.done", "a.fin", "a.pushed", "a.m",
+            )
+            steps.append(_iff("a.m", changed, "a"))
 
     if fin:
         # marker step: freeze the finalize decision — a terminating
@@ -674,25 +693,13 @@ def compile_rules(
         should = (
             f"(a.done or coalesce({_tag('a.tags', _EXEC_TAG)} = 'true', false))"
         )
-        steps.append(_acc_struct("a.tags", "a.results", "a.done", should, "a.pushed"))
-
-        def make_fin_step(r: Rule) -> str:
-            tags = "a.tags"
-            m = f"(a.fin and coalesce({compile_pred(r.pred, tags)}, false))"
-            pushed_adds: list[str] = []
-            acted = (
-                _compile_actions(r.actions, tags, sub_index, pushed_adds, is_relation)
-                if r.actions
-                else tags
-            )
-            new_pushed = "a.pushed"
-            for p in pushed_adds:
-                new_pushed = f"array_append({new_pushed}, {p})"
-            changed = _acc_struct(acted, "a.results", "a.done", "a.fin", new_pushed)
-            return _iff(m, changed, "a")
+        steps.append(_acc_struct("a.tags", "a.results", "a.done", should, "a.pushed", "a.m"))
 
         for r in fin:
-            steps.append(make_fin_step(r))
+            m = f"(a.fin and coalesce({compile_pred(r.pred, 'a.tags')}, false))"
+            changed = _acc_struct("a.tags", "a.results", "a.done", "a.fin", "a.pushed", "true")
+            steps.append(_iff(m, changed, _iff("a.m", _KEEP_M_FALSE, "a")))
+            action_steps(r)
 
     if not steps:
         out = df.withColumn("results", F.expr(f"cast(array() as {RESULT_TYPE})")).withColumn(
@@ -708,6 +715,7 @@ def compile_rules(
         "false",
         "false",
         f"cast(array() as {PUSHED_TYPE})",
+        "false",
     )
     n = len(steps)
     body = _dispatch(steps, 0, n - 1)

@@ -353,3 +353,107 @@ def test_default_style_all_files_parse():
     for f, min_rules in (("lines", 200), ("points", 200), ("polygons", 100), ("relations", 10)):
         rules = parse_rules(open(f"{STYLE_BASE}/{f}").read(), resolver=_resolver)
         assert len(rules) >= min_rules, (f, len(rules))
+
+
+def test_default_points_polygons_differential(spark):
+    """The default points + polygons styles (different construct mix:
+    area_size gates, addaccess, country-ISO in finalize) compiled ==
+    interpreted."""
+    import random as _r
+
+    for fname, kv in (
+        ("points", {
+            "place": ["city", "town", "village", "hamlet"],
+            "amenity": ["pub", "fuel", "parking", "hospital", "place_of_worship"],
+            "highway": ["traffic_signals", "crossing"],
+            "name": ["Eagle", "Lion Inn"],
+            "religion": ["christian", "muslim"],
+            "addr:housenumber": ["7"],
+            "barrier": ["gate", "bollard"],
+            "ele": ["120", "3000"],
+            "natural": ["peak", "tree"],
+        }),
+        ("polygons", {
+            "landuse": ["residential", "forest", "farm", "industrial"],
+            "natural": ["water", "wood"],
+            "building": ["yes", "house"],
+            "leisure": ["park", "pitch"],
+            "amenity": ["school", "parking"],
+            "name": ["Green Park"],
+            "aeroway": ["aerodrome"],
+        }),
+    ):
+        rules = parse_rules(open(f"{STYLE_BASE}/{fname}").read(), resolver=_resolver)
+        rng = _r.Random(1234)
+        rows = []
+        for i in range(80):
+            tags = {}
+            for k in rng.sample(list(kv), rng.randint(1, 4)):
+                tags[k] = rng.choice(kv[k])
+            la = [rng.randint(-4_000_000, 4_000_000) for _ in range(rng.randint(1, 5))]
+            lo = [rng.randint(-8_000_000, 8_000_000) for _ in range(len(la))]
+            if fname == "polygons" and len(la) >= 3:
+                la.append(la[0])
+                lo.append(lo[0])
+            rows.append((i, tags, la, lo))
+        df = spark.createDataFrame(
+            rows, "id long, tags map<string,string>, lats array<int>, lons array<int>"
+        )
+        got = {
+            r["id"]: ([(x["type_code"], x["min_res"]) for x in r["results"]], dict(r["tags_out"]))
+            for r in compile_rules(rules, df, id_col="id").collect()
+        }
+        for i, tags, la, lo in rows:
+            types, want_tags = interpret(
+                rules, tags, geom={"lats": la, "lons": lo}, el={"id": i, "kind": "node" if fname == "points" else "way"}
+            )
+            want = ([(g.type_code, g.min_res) for g in types], want_tags)
+            assert got[i] == want, (fname, i, tags, got[i], want)
+
+
+def test_default_relations_style_end_to_end(spark):
+    """The REAL default relations style: a bus-route relation pushes
+    route_ref to stop members (incl. the nested role=passengers apply),
+    via the compiled pushed column + the member executor."""
+    from mkgmap_spark.operators.relations import apply_pushed_to_members
+
+    rules = parse_rules(open(f"{STYLE_BASE}/relations").read(), resolver=_resolver)
+    rels = spark.createDataFrame(
+        [
+            (1, {"type": "route", "route": "bus", "ref": "42", "name": "Line 42"},
+             [("stop", "node", 10), ("platform", "node", 11), ("", "way", 20)]),
+            (2, {"type": "multipolygon", "landuse": "forest"}, [("outer", "way", 21)]),
+        ],
+        "id long, tags map<string,string>, "
+        "members array<struct<role: string, mtype: string, ref: long>>",
+    )
+    feats = spark.createDataFrame(
+        [
+            ("node", 10, {"highway": "bus_stop", "route_ref": "7"}),
+            ("node", 11, {"name": "platform"}),
+            ("way", 20, {"highway": "residential"}),
+            ("way", 21, {"natural": "wood"}),
+        ],
+        "kind string, id long, tags map<string,string>",
+    )
+    out = compile_rules(rules, rels, is_relation=True, with_pushed=True)
+    pushed = {r["id"]: r["pushed"] for r in out.collect()}
+    assert len(pushed[1]) >= 1  # the route rule pushed
+    assert pushed[2] == []  # multipolygon branch pushes nothing here
+
+    updated = apply_pushed_to_members(rels, feats, rules, relations_out=out)
+    got = {(r["kind"], r["id"]): dict(r["tags"]) for r in updated.collect()}
+    # stop node: ref appended via not-contained template
+    assert got[("node", 10)]["route_ref"] == "7;42"
+    assert got[("node", 11)]["route_ref"] == "42"
+    assert got[("way", 20)]["route_ref"] == "42"
+    # the interpreter agrees member-for-member
+    from mkgmap_spark.rules.interpreter import apply_sub_to_member
+
+    el = {"id": 1, "kind": "relation"}
+    interpret(rules, {"type": "route", "route": "bus", "ref": "42", "name": "Line 42"}, el=el)
+    assert len(el["pushed"]) == len(pushed[1])
+    tags10 = {"highway": "bus_stop", "route_ref": "7"}
+    for sub, ctx in el["pushed"]:
+        tags10, _ = apply_sub_to_member(sub, ctx, tags10)
+    assert tags10["route_ref"] == got[("node", 10)]["route_ref"]
