@@ -134,3 +134,41 @@ def test_level_pyramid(spark, documents_df):
     assert stats[2]["n_tiles"] <= stats[0]["n_tiles"]
     lv = {r["level"] for r in result.tiles.select("level").distinct().collect()}
     assert lv == {0, 1, 2}
+
+
+def test_combiners_tdb_and_gmapsupp(spark, documents_df):
+    """TDB manifest + gmapsupp layout over the tile tables: every
+    detail tile appears once with its counts, parents resolve to the
+    overview level, and the packing offsets are a proper exclusive
+    scan."""
+    from mkgmap_spark.plans.combiners import gmapsupp_layout, tdb_manifest
+    from mkgmap_spark.plans.pipeline import build_tiles
+
+    res = build_tiles(spark, documents_df)
+    man = tdb_manifest(res.tiles, res.membership).orderBy("mapname")
+    rows = man.collect()
+    n_detail = res.tiles.filter(
+        F.col("level") == res.tiles.agg(F.min("level")).collect()[0][0]
+    ).count()
+    assert len(rows) == n_detail
+    # mapnames dense and unique
+    assert [r["mapname"] for r in rows] == list(range(63240001, 63240001 + len(rows)))
+    # counts match membership totals at the detail level
+    total = sum(r["n_elements"] for r in rows)
+    lvl0 = res.membership.agg(F.min("level")).collect()[0][0]
+    assert total == res.membership.filter(F.col("level") == lvl0).count()
+    # every parent is a real overview tile (or -1 for orphans)
+    ov_ids = {
+        r["tile_id"]
+        for r in res.tiles.filter(
+            F.col("level") == res.tiles.agg(F.max("level")).collect()[0][0]
+        ).collect()
+    }
+    assert all(r["parent_tile"] in ov_ids or r["parent_tile"] == -1 for r in rows)
+    assert sum(1 for r in rows if r["parent_tile"] == -1) == 0
+
+    lay = gmapsupp_layout(man).orderBy("mapname").collect()
+    off = 0
+    for r in lay:
+        assert r["byte_offset"] == off
+        off += r["byte_len"]
