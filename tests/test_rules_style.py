@@ -457,3 +457,119 @@ def test_default_relations_style_end_to_end(spark):
     for sub, ctx in el["pushed"]:
         tags10, _ = apply_sub_to_member(sub, ctx, tags10)
     assert tags10["route_ref"] == got[("node", 10)]["route_ref"]
+
+
+def test_differential_random_full_dsl(spark):
+    """Seeded random rulesets over the FULL round-2 DSL surface
+    (filters, $refs, setaccess/addlabel/rename/deletealltags, !~,
+    maxspeedkmh, multiple type-defs, finalize): compiled ==
+    interpreted on random tag sets.  The RulesTest pattern widened."""
+    import random as _r
+
+    rng = _r.Random(8799543)
+    keys = ["highway", "surface", "ref", "maxspeed", "name", "oneway", "route_ref", "access"]
+    vals = ["primary", "secondary", "dirt", "paved", "yes", "no", "40", "80", "A12;B4", "30 mph", "x me"]
+
+    def pred(depth=0):
+        c = rng.random()
+        if depth < 2 and c < 0.18:
+            return f"({pred(depth+1)} & {pred(depth+1)})"
+        if depth < 2 and c < 0.32:
+            return f"({pred(depth+1)} | {pred(depth+1)})"
+        if depth < 2 and c < 0.40:
+            return f"!({pred(depth+1)})"
+        if c < 0.44:
+            return f"maxspeedkmh() {rng.choice(['>', '<'])} {rng.choice(['40', '90'])}"
+        k = rng.choice(keys)
+        op = rng.choice(["=", "!=", "=*", "!=*", ">", "<", "~", "!~", "="])
+        if op in ("=*", "!=*"):
+            return f"{k}{op}"
+        if op in ("~", "!~"):
+            return f"{k}{op}'{rng.choice(['p.*', '[ab]+', '.*y', 'no|yes', '.*mph'])}'"
+        if op in (">", "<"):
+            return f"{k}{op}{rng.choice(['30', '50', '70'])}"
+        if rng.random() < 0.2:
+            return f"{k}{op}${rng.choice(keys)}"  # value-side tag ref
+        return f"{k}{op}{rng.choice(vals[:8])}"
+
+    def template():
+        c = rng.random()
+        k = rng.choice(keys)
+        if c < 0.25:
+            return f"'${{{k}}}'"
+        if c < 0.45:
+            f = rng.choice(
+                ["def:zz", "subst:a=>o", "substring:1", "part:;:1", "prefix:R",
+                 "not-equal:name", "conv:m=>ft", "highway-symbol:box"]
+            )
+            return f"'${{{k}|{f}}}'"
+        if c < 0.6:
+            return f"'${{{rng.choice(keys)}}}-${{{rng.choice(keys)}}}'"
+        return f"'{rng.choice(vals)}'"
+
+    def action():
+        c = rng.random()
+        k = rng.choice(keys)
+        if c < 0.3:
+            alts = " | ".join(template() for _ in range(rng.randint(1, 3)))
+            return f"set {k}={alts}"
+        if c < 0.45:
+            return f"add {k}={template()}"
+        if c < 0.55:
+            return f"delete {rng.choice(keys)}"
+        if c < 0.65:
+            return f"name {template()}"
+        if c < 0.75:
+            return f"addlabel {template()}"
+        if c < 0.82:
+            return f"rename {rng.choice(keys)} {rng.choice(keys)}"
+        if c < 0.9:
+            return f"{rng.choice(['setaccess', 'addaccess'])} {rng.choice(['yes', 'no'])}"
+        return "deletealltags"
+
+    def ruleset(n):
+        lines = []
+        for i in range(n):
+            acts = ""
+            if rng.random() < 0.55:
+                acts = " { " + "; ".join(action() for _ in range(rng.randint(1, 3))) + " }"
+            gt = ""
+            if rng.random() < 0.7:
+                cont = rng.random()
+                suffix = " continue with_actions" if cont < 0.15 else (" continue" if cont < 0.3 else "")
+                extra = " road_class=2 road_speed=3" if rng.random() < 0.2 else ""
+                gt = f" [0x{i + 1:02x} resolution 18-24{extra}{suffix}]"
+                if rng.random() < 0.1:
+                    gt += f" [0x{i + 101:02x} resolution 16]"
+            if not gt and not acts:
+                acts = " { add x=1 }"
+            lines.append(pred() + acts + gt)
+        if rng.random() < 0.5:
+            lines.append("<finalize>")
+            for _ in range(rng.randint(1, 3)):
+                lines.append(pred() + " { " + action().replace("deletealltags", "add fz=1") + " }")
+        return "\n".join(lines)
+
+    def tagset():
+        return {k: rng.choice(vals) for k in rng.sample(keys, rng.randint(1, 5))}
+
+    for round_i in range(4):
+        rules = parse_rules(ruleset(14))
+        tag_sets = [tagset() for _ in range(30)]
+        # sprinkle the finalize-fallback trigger
+        for t in tag_sets[:5]:
+            t["mkgmap:execute_finalize_rules"] = "true"
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tag_sets)], "id long, tags map<string,string>"
+        )
+        got = {
+            r["id"]: (
+                [(x["type_code"], x["road_class"], x["road_speed"]) for x in r["results"]],
+                dict(r["tags_out"]),
+            )
+            for r in compile_rules(rules, df).collect()
+        }
+        for i, tags in enumerate(tag_sets):
+            types, out_tags = interpret(rules, tags)
+            want = ([(g.type_code, g.road_class, g.road_speed) for g in types], out_tags)
+            assert got[i] == want, (round_i, i, tags, got[i], want)
