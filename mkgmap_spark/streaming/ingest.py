@@ -74,3 +74,66 @@ def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup(docs_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each text
+    fingerprint within the watermark window
+    (dropDuplicatesWithinWatermark keeps bounded state — the streaming
+    twin of operators/dedup.exact_dedup).  Requires an event-time
+    column ``ts`` on the stream."""
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    return (
+        docs_stream.withColumn("_fp", fp)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+
+
+def run_available_now_update(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
+    """availableNow drain for UPDATE-mode stateful streams: the file
+    sink is append-only, so each micro-batch's updated rows append via
+    foreachBatch (readers take the latest row per key)."""
+
+    def write_batch(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+TILE_MONITOR_SCHEMA = "tile_id long, total long, over_cap boolean"
+_TILE_STATE_SCHEMA = "total long"
+
+
+def stream_tile_monitor(membership_stream: DataFrame, cap: int = 0xFF) -> DataFrame:
+    """Custom stateful operator: per-tile running element counts over
+    the membership stream, flagging tiles that exceed the MapSplitter
+    cap (MAX_NUM_POINTS/MAX_NUM_LINES = 0xff) — the re-tile trigger the
+    ingest docstring describes.  applyInPandasWithState keeps one
+    bounded counter per tile (the custom-stateful pattern the engine
+    uses where built-in aggregations can't express the semantics)."""
+
+    def update(key, pdf_iter, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame(
+            {"tile_id": [key[0]], "total": [total], "over_cap": [total > cap]}
+        )
+
+    return membership_stream.groupBy("tile_id").applyInPandasWithState(
+        update,
+        outputStructType=TILE_MONITOR_SCHEMA,
+        stateStructType=_TILE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -59,3 +59,55 @@ def test_stream_assign_matches_batch(spark, tmp_path):
     n2 = spark.read.parquet(out_dir).count()
     assert n2 > n1
     assert n2 - n1 < 1001  # only the new file was processed
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup keeps one row per fingerprint across
+    micro-batches (bounded state via the watermark)."""
+    import os
+
+    from mkgmap_spark.streaming.ingest import run_available_now, stream_dedup
+
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    rows1 = [("d1", "same text", "2024-01-01 00:00:00"), ("d2", "same text", "2024-01-01 00:00:10"),
+             ("d3", "other", "2024-01-01 00:00:20")]
+    spark.createDataFrame(rows1, "doc_id string, text string, ts_s string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    ).drop("ts_s").write.parquet(src + "/batch1")
+    stream = spark.readStream.schema("doc_id string, text string, ts timestamp").parquet(src + "/*")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    run_available_now(stream_dedup(stream), out, ck)
+    got = spark.read.parquet(out)
+    texts = sorted(r["text"] for r in got.collect())
+    assert texts == ["other", "same text"]
+
+
+def test_stream_tile_monitor_state(spark, tmp_path):
+    """The stateful per-tile counter accumulates ACROSS micro-batches
+    and flags cap violations."""
+    import os
+
+    from mkgmap_spark.streaming.ingest import run_available_now_update, stream_tile_monitor
+
+    src = str(tmp_path / "members_in")
+    os.makedirs(src)
+    # batch 1: tile 1 gets 200 members, tile 2 gets 3
+    b1 = [(i, 1) for i in range(200)] + [(1000 + i, 2) for i in range(3)]
+    spark.createDataFrame(b1, "id long, tile_id long").write.parquet(src + "/b1")
+    stream = spark.readStream.schema("id long, tile_id long").parquet(src + "/*")
+    out = str(tmp_path / "mon_out")
+    ck = str(tmp_path / "mon_ck")
+    run_available_now_update(stream_tile_monitor(stream, cap=255), out, ck)
+
+    # batch 2 arrives later: tile 1 gets 100 more -> crosses the cap
+    b2 = [(5000 + i, 1) for i in range(100)]
+    spark.createDataFrame(b2, "id long, tile_id long").write.parquet(src + "/b2")
+    stream2 = spark.readStream.schema("id long, tile_id long").parquet(src + "/*")
+    run_available_now_update(stream_tile_monitor(stream2, cap=255), out, ck)
+
+    got = spark.read.parquet(out)
+    latest = {r["tile_id"]: r for r in got.orderBy("total").collect()}
+    assert latest[1]["total"] == 300 and latest[1]["over_cap"]
+    assert latest[2]["total"] == 3 and not latest[2]["over_cap"]
