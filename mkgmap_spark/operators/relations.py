@@ -206,8 +206,14 @@ def apply_pushed_to_members(
             if out is not None:
                 yield out
 
-    for _ in range(max_rounds):
-        if pushes.limit(1).count() == 0:
+    # nested applies exist only when some apply's sub list contains
+    # another apply — statically known, so single-level rulesets skip
+    # the extra drain round (one full job) entirely
+    has_nested = any(any(x.kind == "apply" for x in s.sub) for s in subs)
+    for round_i in range(max_rounds):
+        if round_i > 0 and not has_nested:
+            break
+        if round_i > 0 and pushes.limit(1).count() == 0:
             break
         x = (
             pushes.join(relations.select(F.col("id").alias("rel_id"), "members"), "rel_id")
