@@ -107,3 +107,159 @@ def document_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str =
         F.xxhash64(F.lower(squashed)).alias("fingerprint"),
         F.length(squashed).cast("long").alias("norm_len"),
     )
+
+
+# ---------------------------------------------------------------------
+# PrefixSuffixFilter (osmstyle/PrefixSuffixFilter.java): split well
+# known road-name prefixes/suffixes with the Garmin separator codes so
+# search ignores them ("Rue de la X" -> "Rue de la"+0x1e+"X").
+# ---------------------------------------------------------------------
+
+
+def parse_road_name_config(text: str) -> tuple[dict[str, list[str]], dict[str, list[str]]]:
+    """Parse the --road-name-config format (readOptionFile:54-110 +
+    genPrefix:183-196 + getSearchStrings:231-266): per-language
+    prefix1 x (prefix2 + ' ') combinations and suffix lists, mapped to
+    countries via lang:ISO lines; per-country lists are the union over
+    its languages, longest first.  Returns (prefixes_by_country,
+    suffixes_by_country)."""
+
+    def strip_bq(s: str) -> str:
+        s = s.strip()
+        if len(s) >= 2 and s[0] in "'\"" and s[-1] == s[0]:
+            return s[1:-1]
+        return s
+
+    p1: dict[str, list[str]] = {}
+    p2: dict[str, list[str]] = {}
+    suf: dict[str, list[str]] = {}
+    langs_of: dict[str, list[str]] = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if "=" not in line and ":" not in line:
+            continue
+        key, _, val = line.partition("=")
+        if not val:
+            key, _, val = line.partition(":")
+            # 'prefix1:fr = ...' already handled by '='; here 'key:rest'
+        key = key.strip()
+        if ":" not in key:
+            continue
+        kind, lang = (x.strip() for x in key.split(":", 1))
+        parts = [v for v in val.split(",")]
+        if kind == "prefix1":
+            p1[lang] = [strip_bq(v) for v in parts]
+        elif kind == "prefix2":
+            p2[lang] = [strip_bq(v) for v in parts]
+        elif kind == "suffix":
+            suf[lang] = sorted((strip_bq(v) for v in parts), key=len, reverse=True)
+        elif kind == "lang":
+            langs_of[lang] = [v.strip() for v in parts]
+    lang_prefixes: dict[str, list[str]] = {}
+    for lang, firsts in p1.items():
+        out = []
+        for a in firsts:
+            for b in p2.get(lang, []):
+                out.append(a + " " + b)
+            out.append(a + " ")
+        lang_prefixes[lang] = sorted(out, key=len, reverse=True)
+    pref_by_country: dict[str, list[str]] = {}
+    suf_by_country: dict[str, list[str]] = {}
+    for iso, langs in langs_of.items():
+        ps = sorted({p for lg in langs for p in lang_prefixes.get(lg, [])}, key=len, reverse=True)
+        ss = sorted({s for lg in langs for s in suf.get(lg, [])}, key=len, reverse=True)
+        if ps:
+            pref_by_country[iso] = ps
+        if ss:
+            suf_by_country[iso] = ss
+    return pref_by_country, suf_by_country
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def prefix_suffix_label(
+    label: F.Column | str,
+    country: F.Column | str,
+    prefixes_by_country: dict[str, list[str]],
+    suffixes_by_country: dict[str, list[str]],
+) -> F.Column:
+    """One label through the prefix/suffix marking (filter():208-258):
+    first matching country prefix (case-insensitive, longest first,
+    skipped when the label starts with a shield code < 0x07) is
+    rewritten with 0x1e (blank-ending) / 0x1b, then the first matching
+    suffix with 0x1f (blank-starting) / 0x1c.  Generated as one SQL
+    CASE per country (string-built: the Column DSL would cost a py4j
+    round trip per branch)."""
+    lcol = label if isinstance(label, str) else None
+    if lcol is None:
+        raise ValueError("pass column NAMES (the expression is SQL-generated)")
+    ccol = country
+
+    def prefix_case(v: str) -> str:
+        outer = []
+        for iso, plist in prefixes_by_country.items():
+            inner = []
+            for p in plist:
+                n = len(p)
+                cond = f"lower(substring({v}, 1, {n})) = {_sql_quote(p.lower())}"
+                if p.endswith(" "):
+                    rep = f"concat({_sql_quote(p[:-1])}, '\\u001e', substring({v}, {n + 1}, 1073741824))"
+                else:
+                    rep = f"concat({_sql_quote(p)}, '\\u001b', substring({v}, {n + 1}, 1073741824))"
+                inner.append(f"WHEN {cond} THEN {rep}")
+            outer.append(f"WHEN {ccol} = {_sql_quote(iso)} THEN (CASE " + " ".join(inner) + f" ELSE {v} END)")
+        return "(CASE " + " ".join(outer) + f" ELSE {v} END)" if outer else v
+
+    def suffix_case(v: str) -> str:
+        outer = []
+        for iso, slist in suffixes_by_country.items():
+            inner = []
+            for s in slist:
+                n = len(s)
+                cond = f"lower(substring({v}, -{n}, {n})) = {_sql_quote(s.lower())}"
+                keep = f"substring({v}, 1, length({v}) - {n})"
+                if s.startswith(" "):
+                    rep = f"concat({keep}, '\\u001f', {_sql_quote(s[1:])})"
+                else:
+                    rep = f"concat({keep}, '\\u001c', {_sql_quote(s)})"
+                inner.append(f"WHEN length({v}) >= {n} AND {cond} THEN {rep}")
+            outer.append(f"WHEN {ccol} = {_sql_quote(iso)} THEN (CASE " + " ".join(inner) + f" ELSE {v} END)")
+        return "(CASE " + " ".join(outer) + f" ELSE {v} END)" if outer else v
+
+    # shield-code guard: labels starting with a control char < 0x07
+    # are never prefix-split
+    pre = f"if({lcol} is null or length({lcol}) = 0 or ascii({lcol}) < 7, {lcol}, {prefix_case(lcol)})"
+    # let-binding via a one-element transform: the suffix CASE
+    # references its input once per branch — binding the (large)
+    # prefix-pass expression to a lambda variable keeps the total size
+    # additive instead of multiplicative
+    return F.expr(f"transform(array({pre}), psv -> {suffix_case('psv')})[0]")
+
+
+def prefix_suffix_filter(
+    roads: DataFrame,
+    config_text: str,
+    label_cols: tuple[str, ...] = ("mkgmap:label:1",),
+    tags_col: str = "tags",
+    country_key: str = "mkgmap:country",
+) -> DataFrame:
+    """Apply the road-name prefix/suffix marking to the given label
+    tags of every road, using the tag map's country code (the style
+    sets mkgmap:country to the 3-letter ISO, per the config header)."""
+    prefs, sufs = parse_road_name_config(config_text)
+    df = roads.withColumn("_psf_country", F.col(tags_col).getItem(country_key))
+    for lc in label_cols:
+        df = df.withColumn("_psf_label", F.col(tags_col).getItem(lc))
+        new = prefix_suffix_label("_psf_label", "_psf_country", prefs, sufs)
+        df = df.withColumn(
+            tags_col,
+            F.when(
+                new.isNotNull(),
+                F.map_concat(F.col(tags_col), F.create_map(F.lit(lc), new)),
+            ).otherwise(F.col(tags_col)),
+        )
+    return df.drop("_psf_country", "_psf_label")

@@ -542,3 +542,40 @@ def test_png_codec_roundtrip():
     small = resize_nearest(big, 4, 4)
     assert small.shape == (4, 4, 3)
     assert (small == big[::2, ::2]).all()
+
+
+def test_prefix_suffix_filter(spark):
+    """PrefixSuffixFilter semantics against the reference's OWN shipped
+    road-name config (resources/roadNameConfig.txt): prefix blank ->
+    0x1e, suffix blank -> 0x1f, case-insensitive longest-first match,
+    shield-coded labels untouched."""
+    from mkgmap_spark.operators.text import (
+        parse_road_name_config,
+        prefix_suffix_filter,
+    )
+
+    cfg = open("/root/reference/resources/roadNameConfig.txt").read()
+    prefs, sufs = parse_road_name_config(cfg)
+    assert "Rue de la " in prefs["FRA"]
+    assert prefs["FRA"].index("Rue de la ") < prefs["FRA"].index("Rue ")  # longest first
+    assert " Road" in sufs["GBR"]
+
+    rows = [
+        (1, {"mkgmap:label:1": "Rue de la Paix", "mkgmap:country": "FRA"}),
+        (2, {"mkgmap:label:1": "West Main Street", "mkgmap:country": "GBR"}),
+        (3, {"mkgmap:label:1": "Hauptstrasse 5", "mkgmap:country": "DEU"}),
+        (4, {"mkgmap:label:1": "\x05A66", "mkgmap:country": "FRA"}),  # shield code
+        (5, {"mkgmap:label:1": "Rue de la Paix"}),  # no country -> untouched
+    ]
+    df = spark.createDataFrame(rows, "id long, tags map<string,string>")
+    out = {r["id"]: dict(r["tags"])["mkgmap:label:1"]
+           for r in prefix_suffix_filter(df, cfg).collect()}
+    assert out[1] == "Rue de la" + chr(0x1E) + "Paix"
+    # the en config writes '"West "' WITH the trailing blank; the
+    # reference's genPrefix appends another (p1 + " "), producing
+    # "West  " which never matches — faithfully reproduced, so only
+    # the suffix fires here
+    assert out[2] == "West Main" + chr(0x1F) + "Street"
+    assert out[3] == "Hauptstrasse 5"  # ' Strasse' suffix needs the blank
+    assert out[4] == "\x05A66"
+    assert out[5] == "Rue de la Paix"
