@@ -258,3 +258,50 @@ def line_size_splitter(df: DataFrame, shift: int = 0) -> DataFrame:
     return df.mapInPandas(
         kernel, f"{schema_prefix}, part int, lats array<int>, lons array<int>"
     )
+
+
+def line_filter_chain(
+    ways: DataFrame,
+    resolution: int,
+    max_error_mu: float = 2.6,
+    max_points: int = MAX_POINTS_IN_LINE,
+    min_size: int = 1,
+) -> DataFrame:
+    """The per-level LINE filter pipeline in the reference's order
+    (MapBuilder.java:1177-1188: Round -> Size -> DouglasPeucker ->
+    LineSplitter -> RemoveEmpty -> RemoveObsoletePoints): quantize to
+    the level grid, drop sub-pixel features, thin, split oversized
+    lines, drop spikes/collinears.  ``max_error_mu`` is in map units at
+    resolution 24 (DouglasPeuckerFilter's max-error-distance knob);
+    scaled by the level shift like the reference's filter config.
+    Output gains ``part`` (from the splitter)."""
+    shift = 24 - resolution
+    df = round_coords(ways, shift)
+    if shift > 0:
+        df = size_filter(df, min_size << shift)
+    df = df.filter(F.size("lats") >= 2)
+    df = douglas_peucker(df, max_error=max_error_mu * (1 << shift))
+    df = split_long_lines(df, max_points=max_points)
+    df = remove_obsolete_points(df)
+    return df.filter(F.size("lats") >= 2)
+
+
+def shape_filter_chain(
+    shapes: DataFrame,
+    resolution: int,
+    max_error_mu: float = 2.6,
+    min_size: int = 1,
+) -> DataFrame:
+    """The per-level SHAPE pipeline (MapBuilder.java:1236-1251:
+    PolygonSplit -> Round -> Size -> DP -> RemoveObsolete ->
+    RemoveEmpty); the polygon size split happens in the tile
+    clip-assign stage (clip_assign.py), so here: quantize, size-gate,
+    thin, drop degenerates (< 3 distinct points can't close)."""
+    shift = 24 - resolution
+    df = round_coords(shapes, shift)
+    if shift > 0:
+        df = size_filter(df, min_size << shift)
+    df = df.filter(F.size("lats") >= 3)
+    df = douglas_peucker(df, max_error=max_error_mu * (1 << shift))
+    df = remove_obsolete_points(df)
+    return df.filter(F.size("lats") >= 3)

@@ -38,6 +38,7 @@ def build_tiles(
     levels: tuple[tuple[int, int], ...] = DEFAULT_LEVELS,
     cache: bool = True,
     geometry_assign: bool = False,
+    geometry_filters: bool = False,
 ) -> TileBuildResult:
     """documents -> (tiles, membership) over the level pyramid.
 
@@ -45,7 +46,14 @@ def build_tiles(
     for ways: clip-split of border-crossing shapes into every
     overlapping tile + private tiles for oversized lines
     (operators/clip_assign.py); points always go through the
-    slot-aware point assignment."""
+    slot-aware point assignment.
+
+    ``geometry_filters=True`` additionally runs the reference's
+    per-level LayerFilterChain over way geometry before assignment
+    (MapBuilder.java:1177-1251 Round -> Size -> DP -> Split ->
+    RemoveObsolete; simplify.line_filter_chain/shape_filter_chain) —
+    the geometry actually assigned at a coarse level is the thinned
+    one, like each Subdivision stores filtered points."""
     features = decode_documents(documents).filter(F.col("kind").isin("node", "way"))
     cols = ["id", "kind_i", "ay", "ax", "size_bytes", "min_res"]
     if geometry_assign:
@@ -74,6 +82,16 @@ def build_tiles(
                 .select("id", "level", "tile_id", "kind_i", "part")
             )
             ways = lvl_df.filter(F.col("kind_i") != tiling.POINT_KIND)
+            if geometry_filters:
+                from ..operators.simplify import line_filter_chain, shape_filter_chain
+
+                lines = line_filter_chain(
+                    ways.filter(F.col("kind_i") == tiling.LINE_KIND), resolution
+                ).drop("part")
+                shapes = shape_filter_chain(
+                    ways.filter(F.col("kind_i") == tiling.SHAPE_KIND), resolution
+                )
+                ways = lines.unionByName(shapes, allowMissingColumns=True)
             tiles, m_ways = assign_ways_with_split(spark, ways, result.index, tiles, shift, level)
             m_ways = m_ways.join(lvl_df.select("id", "kind_i"), "id").select(
                 "id", "level", "tile_id", "kind_i", "part"

@@ -97,3 +97,22 @@ def test_exact_split_kernel_matches_sh(spark, documents_df):
     got_sh = {(r["id"], r["tile_id"], r["part"]) for r in m_sh.collect()}
     got_ex = {(r["id"], r["tile_id"], r["part"]) for r in m_ex.collect()}
     assert got_sh == got_ex
+
+
+def test_pipeline_geometry_filters(spark, documents_df):
+    """geometry_filters=True runs the per-level filter chain before
+    assignment: the coarse level assigns thinned geometry, membership
+    stays complete and orphan-free."""
+    from mkgmap_spark.plans.pipeline import build_tiles
+
+    res = build_tiles(
+        spark, documents_df, levels=((0, 24), (2, 18)), geometry_assign=True,
+        geometry_filters=True,
+    )
+    m = res.membership
+    assert m.count() > 0
+    orphans = m.join(res.tiles.select("tile_id", "level"), ["tile_id", "level"], "left_anti")
+    assert orphans.count() == 0
+    # both levels produced way memberships
+    lv = {r["level"] for r in m.filter(F.col("kind_i") != 0).select("level").distinct().collect()}
+    assert lv == {0, 2}

@@ -579,3 +579,39 @@ def test_prefix_suffix_filter(spark):
     assert out[3] == "Hauptstrasse 5"  # ' Strasse' suffix needs the blank
     assert out[4] == "\x05A66"
     assert out[5] == "Rue de la Paix"
+
+
+def test_layer_filter_chains(spark):
+    """Round -> Size -> DP -> Split -> RemoveObsolete composition: at
+    coarse resolutions lines lose points but keep endpoints; sub-pixel
+    features drop; nothing degenerate survives."""
+    import random
+
+    from mkgmap_spark.operators.simplify import line_filter_chain, shape_filter_chain
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(40):
+        n = rng.randint(2, 300)
+        la = [rng.randint(0, 1 << 18) for _ in range(n)]
+        lo = [rng.randint(0, 1 << 18) for _ in range(n)]
+        rows.append((i, la, lo))
+    # a sub-pixel feature at res 16 (extent < 2^8 map units << shift)
+    rows.append((99, [0, 3, 5], [0, 2, 4]))
+    df = spark.createDataFrame(rows, "id long, lats array<int>, lons array<int>")
+
+    fine = line_filter_chain(df, resolution=24)
+    coarse = line_filter_chain(df, resolution=16)
+    n_fine = fine.select(F.sum(F.size("lats"))).collect()[0][0]
+    n_coarse = coarse.select(F.sum(F.size("lats"))).collect()[0][0]
+    assert n_coarse < n_fine
+    assert coarse.filter(F.col("id") == 99).count() == 0  # sub-pixel dropped
+    assert fine.select(F.max(F.size("lats"))).collect()[0][0] <= 251
+    assert coarse.select(F.min(F.size("lats"))).collect()[0][0] >= 2
+
+    shp = spark.createDataFrame(
+        [(1, [0, 0, 60000, 60000, 0], [0, 60000, 60000, 0, 0])],
+        "id long, lats array<int>, lons array<int>",
+    )
+    out = shape_filter_chain(shp, resolution=18).collect()
+    assert len(out) == 1 and len(out[0]["lats"]) >= 3
