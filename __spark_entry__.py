@@ -1,8 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship tile-assignment pipeline on sf0.001.
-queries()     -> operator queries from SURVEY.md §2 (mkgmap_spark/queries.py).
-oracle_sql()  -> matching DuckDB SQL for the correctness gate.
+queries()     -> 31 operator queries from SURVEY.md §2 (mkgmap_spark/queries.py).
+oracle_sql()  -> 30 matching DuckDB SQL twins for the correctness gate
+                 (only tile_assign is rows-only: quadtree driver loop,
+                 covered row-for-row by the pytest oracle).
 """
 
 from __future__ import annotations
