@@ -16,8 +16,6 @@ All operators take documents(doc_id, text) and are deterministic.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
