@@ -235,3 +235,20 @@ def pip_join_shuffle(
         .agg(F.min(F.struct("boundary_id", "name", "postcode")).alias("_b"))
         .select("id", "admin_level", "_b.boundary_id", "_b.name", "_b.postcode")
     )
+
+
+def pip_join(
+    points: DataFrame,
+    boundaries: DataFrame,
+    gshift: int = 16,
+    broadcast_threshold: int = 10_000,
+    **kwargs,
+) -> DataFrame:
+    """Strategy dispatch, mirroring the reference's grid+quadtree-index
+    vs full-scan choice (BoundaryGrid vs ElementQuadTree): a bounded
+    boundary set (admin polygons — the LocationHook case) broadcasts;
+    an sf-scaled one goes through the cell-keyed shuffle join."""
+    n = boundaries.limit(broadcast_threshold + 1).count()
+    if n <= broadcast_threshold:
+        return pip_join_broadcast(points, boundaries, gshift=gshift, **kwargs)
+    return pip_join_shuffle(points, boundaries, gshift=gshift, **kwargs)

@@ -66,3 +66,23 @@ def test_pip_hole_semantics(spark, pip_inputs):
     # report strictly more matches than the oracle — covered by exact
     # equality above. Here just assert the fixture exercises level 8.
     assert lvl8, "fixture should place some points inside level-8 towns"
+
+
+def test_pip_join_dispatch(spark):
+    """The dispatcher picks broadcast for bounded boundary sets and
+    shuffle above the threshold; results identical either way."""
+    from mkgmap_spark.operators.pip_join import pip_join
+
+    pts = spark.createDataFrame(
+        [(1, 50, 50), (2, 5000, 5000)], "id long, ay int, ax int"
+    )
+    rings = [{"lats": [0, 0, 100, 100, 0], "lons": [0, 100, 100, 0, 0], "is_hole": False}]
+    bnd = spark.createDataFrame(
+        [("b1", 2, "Box", "P1", rings)],
+        "boundary_id string, admin_level int, name string, postcode string, "
+        "rings array<struct<lats: array<int>, lons: array<int>, is_hole: boolean>>",
+    )
+    got_b = {(r["id"], r["boundary_id"]) for r in pip_join(pts, bnd).collect()}
+    got_s = {(r["id"], r["boundary_id"])
+             for r in pip_join(pts, bnd, broadcast_threshold=0).collect()}
+    assert got_b == got_s == {(1, "b1")}
