@@ -86,7 +86,7 @@ def housenumber_intervals(projected: DataFrame) -> DataFrame:
     """(house_id, number, road_id, t, side) -> one numbering interval
     per (road_id, side): NumberStyle O/E/B, start/end numbers in travel
     direction, house count, and the count of order violations (where
-    the number sequence is non-monotonic — the reference would split
+    the number sequence is non-monotonic — split_intervals below cuts
     there)."""
     from pyspark.sql import Window
 
@@ -114,4 +114,50 @@ def housenumber_intervals(projected: DataFrame) -> DataFrame:
             ).alias("needs_split"),
         )
         .select("road_id", "side", "style", "start_num", "end_num", "n_houses", "needs_split")
+    )
+
+
+def housenumber_intervals_split(projected: DataFrame) -> DataFrame:
+    """Multi-interval variant (HousenumberRoad.checkIntervals
+    semantics): a new interval starts wherever the number sequence
+    REVERSES direction along the road side — each interval is then
+    monotonic and Garmin-encodable.  Pure window arithmetic: direction
+    per step, interval id = running count of direction flips.
+
+    Output: (road_id, side, interval, style, start_num, end_num,
+    n_houses, t_start, t_end)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("road_id", "side").orderBy("t", "house_id")
+    d = projected.withColumn("_prev", F.lag("number").over(w))
+    step = F.when(F.col("_prev").isNotNull(), F.signum(F.col("number") - F.col("_prev")))
+    d = d.withColumn("_step", step)
+    # carry the last NON-ZERO direction forward (equal numbers don't
+    # establish a direction), then flag flips
+    dirn = F.last(F.when(F.col("_step") != 0, F.col("_step")), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("_dir", dirn)
+    prev_dir = F.lag("_dir").over(w)
+    flip = F.when(
+        prev_dir.isNotNull() & F.col("_dir").isNotNull() & (F.col("_dir") != prev_dir), 1
+    ).otherwise(0)
+    d = d.withColumn("_interval", F.sum(flip).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        d.groupBy("road_id", "side", F.col("_interval").cast("int").alias("interval"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_houses"),
+            F.when(F.max(F.pmod("number", F.lit(2))) == 0, F.lit("E"))
+            .when(F.min(F.pmod("number", F.lit(2))) == 1, F.lit("O"))
+            .otherwise(F.lit("B"))
+            .alias("style"),
+            F.min_by("number", F.struct("t", "house_id")).cast("int").alias("start_num"),
+            F.max_by("number", F.struct("t", "house_id")).cast("int").alias("end_num"),
+            F.min("t").alias("t_start"),
+            F.max("t").alias("t_end"),
+        )
+        .select(
+            "road_id", "side", "interval", "style", "start_num", "end_num",
+            "n_houses", "t_start", "t_end",
+        )
     )

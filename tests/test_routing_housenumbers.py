@@ -97,3 +97,30 @@ def test_project_houses_multi_segment(spark):
     rows = {r["house_id"]: r for r in project_houses(houses, roads).collect()}
     assert 0 <= rows[1]["t"] < 1  # first segment
     assert 1 <= rows[2]["t"] <= 2  # second segment
+
+
+def test_housenumber_intervals_split(spark):
+    """Direction reversals start new intervals; each interval is
+    monotonic (HousenumberRoad.checkIntervals semantics)."""
+    from mkgmap_spark.operators.housenumbers import housenumber_intervals_split
+
+    # one road side, numbers 2,4,8 then back down 6,2a... use 2,4,8,6,4
+    proj = spark.createDataFrame(
+        [
+            (1, 2, 1, 0.1, "R"),
+            (2, 4, 1, 0.2, "R"),
+            (3, 8, 1, 0.3, "R"),
+            (4, 6, 1, 0.4, "R"),
+            (5, 4, 1, 0.5, "R"),
+            # a second side with no reversal
+            (6, 1, 1, 0.1, "L"),
+            (7, 3, 1, 0.2, "L"),
+        ],
+        "house_id long, number int, road_id long, t double, side string",
+    )
+    out = {(r["side"], r["interval"]): r for r in housenumber_intervals_split(proj).collect()}
+    assert set(out) == {("R", 0), ("R", 1), ("L", 0)}
+    r0, r1 = out[("R", 0)], out[("R", 1)]
+    assert (r0["start_num"], r0["end_num"], r0["n_houses"]) == (2, 8, 3)
+    assert (r1["start_num"], r1["end_num"], r1["n_houses"]) == (6, 4, 2)
+    assert out[("L", 0)]["style"] == "O"
