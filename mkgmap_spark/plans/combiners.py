@@ -114,3 +114,25 @@ def gmapsupp_layout(manifest: DataFrame, block_size: int = 512) -> DataFrame:
         (F.coalesce(F.sum("n_blocks").over(w), F.lit(0)) * block_size).alias("byte_offset"),
         (F.col("n_blocks") * block_size).alias("byte_len"),
     )
+
+
+def write_gpx_debug(features: DataFrame, out_dir: str) -> None:
+    """GPX debug sink (util/GpxCreator.java): dump feature geometry for
+    inspection.  One GPX document string per feature (trk/trkseg/trkpt
+    in degrees), written as text — the debugging aid, not a data path."""
+    from pyspark.sql import functions as F
+
+    deg = 360.0 / (1 << 24)
+    pts = (
+        "aggregate(zip_with(lats, lons, (a, b) -> concat('<trkpt lat=\"', "
+        f"cast(a * {deg!r} as string), '\" lon=\"', cast(b * {deg!r} as string), '\"/>')), "
+        "'', (acc, x) -> concat(acc, x))"
+    )
+    gpx = F.concat(
+        F.lit('<?xml version="1.0"?><gpx version="1.1"><trk><name>'),
+        F.col("id").cast("string"),
+        F.lit("</name><trkseg>"),
+        F.expr(pts),
+        F.lit("</trkseg></trk></gpx>"),
+    )
+    features.select(gpx.alias("value")).write.mode("overwrite").text(out_dir)

@@ -172,3 +172,15 @@ def test_combiners_tdb_and_gmapsupp(spark, documents_df):
     for r in lay:
         assert r["byte_offset"] == off
         off += r["byte_len"]
+
+
+def test_gpx_debug_sink(spark, tmp_path):
+    from mkgmap_spark.plans.combiners import write_gpx_debug
+
+    df = spark.createDataFrame(
+        [(7, [0, 1 << 22], [0, 1 << 23])], "id long, lats array<int>, lons array<int>"
+    )
+    out = str(tmp_path / "gpx")
+    write_gpx_debug(df, out)
+    txt = spark.read.text(out).collect()[0]["value"]
+    assert "<gpx" in txt and "<trkpt" in txt and "90.0" in txt
