@@ -111,36 +111,47 @@ def turn_restrictions(
         m("from", "way").alias("_from"),
         m("to", "way").alias("_to"),
         m("via", "node").alias("_via"),
+        m("via", "way").alias("_viaw"),
     )
-    # exactly one of each (via-way chains and multi-from/to dropped)
+    # exactly one from and to; via is one NODE or one WAY (longer
+    # via-way chains are dropped like the reference's warn-and-skip
+    # multi-member paths)
     r = r.filter(
         F.col("restriction").isin(*SUPPORTED_RESTRICTIONS)
         & (F.size("_from") == 1)
         & (F.size("_to") == 1)
-        & (F.size("_via") == 1)
+        & (
+            ((F.size("_via") == 1) & (F.size("_viaw") == 0))
+            | ((F.size("_via") == 0) & (F.size("_viaw") == 1))
+        )
     ).select(
         "rel_id",
         "restriction",
         "except_mask",
-        F.expr("_from[0].ref").alias("from_way"),
-        F.expr("_to[0].ref").alias("to_way"),
-        F.expr("_via[0].ref").alias("via_node"),
+        # get() tolerates the empty array (ANSI [i] throws)
+        F.expr("get(_from, 0).ref").alias("from_way"),
+        F.expr("get(_to, 0).ref").alias("to_way"),
+        F.expr("get(_via, 0).ref").alias("via_node"),
+        F.expr("get(_viaw, 0).ref").alias("via_way"),
     )
 
-    via = nodes.select(
-        F.col("id").alias("via_node"), F.col("lat").alias("via_lat"), F.col("lon").alias("via_lon")
-    )
     wends = ways.select(
         F.col("id").alias("_wid"),
         F.expr("lats[0]").alias("_sy"), F.expr("lons[0]").alias("_sx"),
         F.expr("lats[size(lats) - 1]").alias("_ey"), F.expr("lons[size(lons) - 1]").alias("_ex"),
     )
+
+    # --- via-NODE form: the via node must be an END point of both ways
+    via = nodes.select(
+        F.col("id").alias("via_node"), F.col("lat").alias("via_lat"), F.col("lon").alias("via_lon")
+    )
     touches = (
         ((F.col("_sy") == F.col("via_lat")) & (F.col("_sx") == F.col("via_lon")))
         | ((F.col("_ey") == F.col("via_lat")) & (F.col("_ex") == F.col("via_lon")))
     )
-    r = (
-        r.join(via, "via_node")
+    rn = (
+        r.filter(F.col("via_node").isNotNull())
+        .join(via, "via_node")
         .join(wends.withColumnRenamed("_wid", "from_way"), "from_way")
         .filter(touches)
         .drop("_sy", "_sx", "_ey", "_ex")
@@ -148,7 +159,42 @@ def turn_restrictions(
         .filter(touches)
         .drop("_sy", "_sx", "_ey", "_ex")
     )
-    return r.select(
-        "rel_id", "restriction", "except_mask", "via_node", "from_way", "to_way",
-        "via_lat", "via_lon",
+
+    # --- single via-WAY form (RestrictionRelation via-way handling):
+    # from must join one end of the via way and to the other —
+    # the restriction spans the whole via way
+    vw = wends.select(
+        F.col("_wid").alias("via_way"),
+        F.col("_sy").alias("_vsy"), F.col("_sx").alias("_vsx"),
+        F.col("_ey").alias("_vey"), F.col("_ex").alias("_vex"),
     )
+
+    def touches_pt(py, px):
+        return ((F.col("_sy") == py) & (F.col("_sx") == px)) | (
+            (F.col("_ey") == py) & (F.col("_ex") == px)
+        )
+
+    rw = (
+        r.filter(F.col("via_way").isNotNull())
+        .join(vw, "via_way")
+        .join(wends.withColumnRenamed("_wid", "from_way"), "from_way")
+        .withColumn("_f_start", touches_pt(F.col("_vsy"), F.col("_vsx")))
+        .withColumn("_f_end", touches_pt(F.col("_vey"), F.col("_vex")))
+        .drop("_sy", "_sx", "_ey", "_ex")
+        .join(wends.withColumnRenamed("_wid", "to_way"), "to_way")
+        .withColumn("_t_start", touches_pt(F.col("_vsy"), F.col("_vsx")))
+        .withColumn("_t_end", touches_pt(F.col("_vey"), F.col("_vex")))
+        .drop("_sy", "_sx", "_ey", "_ex")
+        .filter(
+            (F.col("_f_start") & F.col("_t_end")) | (F.col("_f_end") & F.col("_t_start"))
+        )
+        # report the junction where the restriction STARTS (from x via)
+        .withColumn("via_lat", F.when(F.col("_f_start"), F.col("_vsy")).otherwise(F.col("_vey")))
+        .withColumn("via_lon", F.when(F.col("_f_start"), F.col("_vsx")).otherwise(F.col("_vex")))
+    )
+
+    cols = [
+        "rel_id", "restriction", "except_mask", "via_node", "via_way",
+        "from_way", "to_way", "via_lat", "via_lon",
+    ]
+    return rn.select(*cols).unionByName(rw.select(*cols))

@@ -124,3 +124,33 @@ def test_housenumber_intervals_split(spark):
     assert (r0["start_num"], r0["end_num"], r0["n_houses"]) == (2, 8, 3)
     assert (r1["start_num"], r1["end_num"], r1["n_houses"]) == (6, 4, 2)
     assert out[("L", 0)]["style"] == "O"
+
+
+def test_turn_restriction_via_way(spark):
+    """Single via-WAY restrictions: from joins one end of the via way,
+    to the other; mismatched connections drop."""
+    nodes = spark.createDataFrame([(1, 0, 0)], "id long, lat int, lon int")
+    ways = spark.createDataFrame(
+        [
+            (10, [0, 0], [0, 1000]),       # from: ends at (0,1000)
+            (20, [0, 0], [1000, 2000]),    # via:  (0,1000)-(0,2000)
+            (11, [0, 0], [2000, 3000]),    # to:   starts at (0,2000)
+            (12, [500, 500], [0, 500]),    # disconnected
+        ],
+        "id long, lats array<int>, lons array<int>",
+    )
+    rels = spark.createDataFrame(
+        [
+            (200, {"type": "restriction", "restriction": "no_u_turn"},
+             _members(("from", "way", 10), ("via", "way", 20), ("to", "way", 11))),
+            (201, {"type": "restriction", "restriction": "no_u_turn"},
+             _members(("from", "way", 10), ("via", "way", 20), ("to", "way", 12))),
+        ],
+        "id long, tags map<string,string>, "
+        "members array<struct<role: string, mtype: string, ref: long>>",
+    )
+    out = {r["rel_id"]: r for r in turn_restrictions(rels, ways, nodes).collect()}
+    assert set(out) == {200}
+    r = out[200]
+    assert r["via_way"] == 20 and r["via_node"] is None
+    assert (r["via_lat"], r["via_lon"]) == (0, 1000)  # from x via junction
