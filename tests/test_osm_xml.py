@@ -1,0 +1,60 @@
+"""OSM XML source: fixture round-trip + Spark read + the end-to-end
+hop into way->node resolution and the style engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mkgmap_spark.sources.o5m import resolve_way_coords
+from mkgmap_spark.sources.osm_xml import (
+    parse_osm_xml,
+    read_osm_xml,
+    to_map_unit,
+    write_osm_xml_fixture,
+)
+
+
+def _els():
+    els = [
+        {"id": i, "kind": "node", "tags": ({"name": f"n{i}"} if i == 1 else {}),
+         "lat_deg": 50.0 + i * 0.001, "lon_deg": 8.0 + i * 0.002}
+        for i in range(1, 5)
+    ]
+    els.append({"id": 10, "kind": "way", "tags": {"highway": "primary", "ref": "B3"},
+                "refs": [1, 2, 3, 4]})
+    els.append({"id": 20, "kind": "relation", "tags": {"type": "route", "route": "bus", "ref": "7"},
+                "members": [{"role": "stop", "mtype": "node", "ref": 1},
+                            {"role": "", "mtype": "way", "ref": 10}]})
+    return els
+
+
+def test_parse_roundtrip(tmp_path):
+    p = str(tmp_path / "f.osm")
+    write_osm_xml_fixture(p, _els())
+    got = parse_osm_xml(open(p).read())
+    assert [g["kind"] for g in got] == ["node"] * 4 + ["way", "relation"]
+    assert got[0]["lat"] == to_map_unit(50.001)
+    assert got[4]["refs"] == [1, 2, 3, 4]
+    assert got[5]["members"][0] == {"role": "stop", "mtype": "node", "ref": 1}
+
+
+def test_osm_xml_to_style_engine(spark, tmp_path):
+    """The full front door: .osm file -> element table -> way->node
+    resolution -> rule engine emission."""
+    import os
+
+    from mkgmap_spark.rules import compile_rules, parse_rules
+
+    d = str(tmp_path / "osm")
+    os.makedirs(d)
+    write_osm_xml_fixture(f"{d}/a.osm", _els())
+    elements = read_osm_xml(spark, d)
+    assert elements.count() == 6
+    ways = resolve_way_coords(elements)
+    w = ways.collect()[0]
+    assert len(w["lats"]) == 4 and dict(w["tags"])["highway"] == "primary"
+
+    rules = parse_rules("highway=primary & length() > 0 { name '${ref}' } [0x02 resolution 18]")
+    out = compile_rules(rules, ways.withColumnRenamed("tags", "tags_in"), tags_col="tags_in").collect()[0]
+    assert [r["type_code"] for r in out["results"]] == [2]
+    assert dict(out["tags_out"])["mkgmap:label:1"] == "B3"
