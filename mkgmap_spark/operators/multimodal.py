@@ -59,15 +59,19 @@ def fake_payload(media_ref: str, w: int, h: int) -> bytes:
 def decode_media_features(media: DataFrame) -> DataFrame:
     """Extract per-media features with one Arrow pass.
 
-    REAL decode for PNG image payloads (functions/png.py); other kinds
-    (audio/video) raise NotImplementedError — the batch contract is
-    where a deployment swaps in torchaudio/pyav: binary in,
-    fixed-width numeric features out, no Python object columns
-    crossing batch boundaries.
+    REAL decode for PNG images (functions/png.py, numpy+zlib) and WAV
+    audio (stdlib wave/RIFF): dims or duration/rate + content stats +
+    a fingerprint per item.  Video raises NotImplementedError — no
+    codec ships in this container; the batch contract is the swap-in
+    point for pyav: binary in, fixed-width numeric features out, no
+    Python object columns crossing batch boundaries.
     """
     from ..functions.png import decode_png, is_png, resize_nearest
 
     def kernel(it):
+        import io
+        import wave
+
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -75,36 +79,74 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             widths = np.zeros(n, dtype=np.int32)
             heights = np.zeros(n, dtype=np.int32)
             means = np.zeros((n, 3), dtype=np.float64)
+            dur = np.zeros(n, dtype=np.float64)
+            rate = np.zeros(n, dtype=np.int32)
             fps = np.empty(n, dtype=object)
             kinds = pdf["kind"].tolist()
             payloads = pdf["payload"].tolist()
             for i in range(n):
-                if kinds[i] not in ("image", "thumb"):
+                kind = kinds[i]
+                if kind in ("image", "thumb"):
+                    img = decode_png(payloads[i]) if is_png(payloads[i]) else None
+                    if img is None:
+                        raise ValueError("image payload is not a PNG")
+                    heights[i], widths[i] = img.shape[0], img.shape[1]
+                    chan = img.reshape(-1, img.shape[2]).mean(axis=0)
+                    means[i, : len(chan)] = chan[:3]
+                    thumb = resize_nearest(img, 8, 8)
+                    fps[i] = hashlib.md5(thumb.tobytes()).hexdigest()
+                elif kind == "audio":
+                    with wave.open(io.BytesIO(bytes(payloads[i]))) as w:
+                        rate[i] = w.getframerate()
+                        nf = w.getnframes()
+                        dur[i] = nf / w.getframerate() if w.getframerate() else 0.0
+                        pcm = np.frombuffer(w.readframes(nf), dtype=np.int16)
+                    # rms + peak as content stats (mean_r/mean_g slots)
+                    if len(pcm):
+                        means[i, 0] = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+                        means[i, 1] = float(np.abs(pcm).max())
+                    fps[i] = hashlib.md5(pcm[:: max(1, len(pcm) // 256)].tobytes()).hexdigest()
+                else:
                     raise NotImplementedError(
-                        f"decode for kind={kinds[i]!r} needs a codec not present in this container"
+                        f"decode for kind={kind!r} needs a codec not present in this container"
                     )
-                img = decode_png(payloads[i]) if is_png(payloads[i]) else None
-                if img is None:
-                    raise ValueError("image payload is not a PNG")
-                heights[i], widths[i] = img.shape[0], img.shape[1]
-                chan = img.reshape(-1, img.shape[2]).mean(axis=0)
-                means[i, : len(chan)] = chan[:3]
-                thumb = resize_nearest(img, 8, 8)
-                fps[i] = hashlib.md5(thumb.tobytes()).hexdigest()
             out = pdf[["doc_id", "media_ref", "kind"]].copy()
             out["width"] = widths
             out["height"] = heights
             out["mean_r"] = means[:, 0]
             out["mean_g"] = means[:, 1]
             out["mean_b"] = means[:, 2]
+            out["duration_s"] = dur
+            out["sample_rate"] = rate
             out["thumb_md5"] = fps
             yield out
 
     return media.mapInPandas(
         kernel,
         "doc_id string, media_ref string, kind string, width int, height int, "
-        "mean_r double, mean_g double, mean_b double, thumb_md5 string",
+        "mean_r double, mean_g double, mean_b double, duration_s double, "
+        "sample_rate int, thumb_md5 string",
     )
+
+
+def fake_wav_payload(media_ref: str, seconds: float = 0.25, rate: int = 8000) -> bytes:
+    """Deterministic REAL WAV payload: a seeded sine tone, 16-bit PCM
+    mono RIFF (stdlib wave writer) — the audio decode path parses an
+    actual container, not a byte blob."""
+    import io
+    import wave
+
+    seed = int(hashlib.md5(media_ref.encode()).hexdigest()[:8], 16)
+    freq = 200 + (seed % 800)
+    t = np.arange(int(seconds * rate)) / rate
+    pcm = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
 
 
 def media_table_from_documents(documents: DataFrame) -> DataFrame:

@@ -615,3 +615,22 @@ def test_layer_filter_chains(spark):
     )
     out = shape_filter_chain(shp, resolution=18).collect()
     assert len(out) == 1 and len(out[0]["lats"]) >= 3
+
+
+def test_audio_wav_decode(spark):
+    """Real WAV decode: RIFF parse via the stdlib, duration/rate/rms
+    out of actual PCM frames."""
+    from mkgmap_spark.operators.multimodal import decode_media_features, fake_wav_payload
+
+    rows = [("d1", "a1", "audio", fake_wav_payload("a1"), 0, 0),
+            ("d2", "a2", "audio", fake_wav_payload("a2", seconds=0.5), 0, 0)]
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, kind string, payload binary, width int, height int"
+    )
+    out = {r["media_ref"]: r for r in decode_media_features(media).collect()}
+    assert out["a1"]["sample_rate"] == 8000
+    assert abs(out["a1"]["duration_s"] - 0.25) < 1e-6
+    assert abs(out["a2"]["duration_s"] - 0.5) < 1e-6
+    # sine rms ~ amplitude/sqrt(2)
+    assert 7000 < out["a1"]["mean_r"] < 10000
+    assert out["a1"]["thumb_md5"] != out["a2"]["thumb_md5"]
