@@ -118,3 +118,48 @@ def build_tiles(
             }
         )
     return TileBuildResult(all_tiles, all_members, stats)
+
+
+def elements_to_features(
+    elements: DataFrame,
+    rules=None,
+) -> DataFrame:
+    """Raw source elements (sources/{osm_xml,o5m,pbf}.read_* schema:
+    nodes with map-unit lat/lon, ways with refs) -> the decoded
+    features schema build_tiles consumes (id, kind, tags, lats, lons,
+    closed, min_res).
+
+    Way geometry comes from the order-preserving way->node join
+    (sources/o5m.resolve_way_coords = ElementSaver.java:95-106).  When
+    a parsed ruleset is given, the rule engine resolves each element's
+    Garmin types and its min/max resolution — the StyledConverter
+    convertNode/convertWay path: elements with no emission are dropped
+    (unused-element semantics), min_res = the smallest min_res over
+    the emitted types."""
+    from ..sources.o5m import resolve_way_coords
+
+    nodes = elements.filter(F.col("kind") == "node").select(
+        "id",
+        F.lit("node").alias("kind"),
+        "tags",
+        F.array(F.col("lat")).alias("lats"),
+        F.array(F.col("lon")).alias("lons"),
+    )
+    ways = resolve_way_coords(elements).select(
+        "id", F.lit("way").alias("kind"), "tags", "lats", "lons"
+    )
+    feats = nodes.unionByName(ways)
+    closed = (F.size("lats") >= 4) & F.expr(
+        "lats[0] = lats[size(lats) - 1] and lons[0] = lons[size(lons) - 1]"
+    )
+    feats = feats.withColumn("closed", closed)
+    if rules is None:
+        return feats.withColumn("min_res", F.lit(24))
+    from ..rules import compile_rules
+
+    styled = compile_rules(rules, feats, kind_col="kind", id_col="id")
+    return (
+        styled.filter(F.size("results") > 0)
+        .withColumn("min_res", F.expr("array_min(transform(results, r -> r.min_res))"))
+        .select("id", "kind", F.col("tags_out").alias("tags"), "lats", "lons", "closed", "min_res")
+    )

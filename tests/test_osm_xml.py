@@ -58,3 +58,47 @@ def test_osm_xml_to_style_engine(spark, tmp_path):
     out = compile_rules(rules, ways.withColumnRenamed("tags", "tags_in"), tags_col="tags_in").collect()[0]
     assert [r["type_code"] for r in out["results"]] == [2]
     assert dict(out["tags_out"])["mkgmap:label:1"] == "B3"
+
+
+def test_full_front_door_to_tiles(spark, tmp_path):
+    """The complete user path: .osm file -> elements -> rule engine ->
+    features -> quadtree tiles + membership."""
+    import os
+    import random
+
+    from mkgmap_spark.operators import tiling
+    from mkgmap_spark.plans.pipeline import elements_to_features
+    from mkgmap_spark.rules import parse_rules
+
+    rng = random.Random(3)
+    els = []
+    for i in range(1, 200):
+        els.append({"id": i, "kind": "node",
+                    "tags": {"amenity": "pub"} if i % 7 == 0 else {},
+                    "lat_deg": rng.uniform(-10, 10), "lon_deg": rng.uniform(-10, 10)})
+    for w in range(300, 320):
+        refs = rng.sample(range(1, 200), 4)
+        els.append({"id": w, "kind": "way", "tags": {"highway": "residential"}, "refs": refs})
+    d = str(tmp_path / "osm"); os.makedirs(d)
+    write_osm_xml_fixture(f"{d}/a.osm", els)
+
+    elements = read_osm_xml(spark, d)
+    rules = parse_rules(
+        """
+        amenity=pub [0x2d resolution 22]
+        highway=residential [0x06 resolution 20]
+        """
+    )
+    feats = elements_to_features(elements, rules=rules)
+    n_feats = feats.count()
+    assert n_feats == 200 // 7 + 20  # only styled elements survive
+    res = {r["kind"]: r["min_res"] for r in feats.select("kind", "min_res").distinct().collect()}
+    assert res == {"node": 22, "way": 20}
+
+    prepared = tiling.prepare_features(feats).select(
+        "id", "kind_i", "ay", "ax", "size_bytes", "min_res"
+    )
+    provider = tiling.SparkHistogramProvider(prepared)
+    result = tiling.split_level(provider, shift=0)
+    members = tiling.assign_tiles(prepared, result.index, resolution=24, level=0)
+    assert members.count() == n_feats
