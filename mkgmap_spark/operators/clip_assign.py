@@ -134,7 +134,10 @@ def assign_ways_with_split(
     raw = ways.select("id", "kind_i", "lats", "lons").mapInPandas(
         kernel, "id long, tile_id long, part int, _priv boolean"
     )
-    raw = raw.persist()
+    # eager localCheckpoint instead of persist: raw feeds both the
+    # private-tile pass and the returned membership; a persist would
+    # outlive the function with no unpersist point
+    raw = raw.localCheckpoint(eager=True)
 
     # private tiles: deterministic ids — rank by feature id, appended
     # after the shared tiles.  The id->tile mapping stays distributed
@@ -159,7 +162,7 @@ def assign_ways_with_split(
             "_ptid",
             (F.row_number().over(Window.orderBy("id")) - 1 + base_tid).cast("long"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     tiles_out = list(tiles)

@@ -128,6 +128,8 @@ def knn_join_cells(
     )
 
     best: DataFrame | None = None  # accumulated top-k candidates per left id
+    best_cache: DataFrame | None = None  # persisted handles (for unpersist)
+    pending_cache: DataFrame | None = None
     results: list[DataFrame] = []
 
     for ring in range(1, max_rings + 1):
@@ -168,12 +170,13 @@ def knn_join_cells(
             F.col(right_id),
             _dist2(F.col(ly), F.col(lx), F.col(ry), F.col(rx)).alias("dist2"),
         )
-        prev_best, prev_pending = best, pending
+        prev_best_cache, prev_pending_cache = best_cache, pending_cache
         best = cand if best is None else best.unionByName(cand)
         w = Window.partitionBy(left_id).orderBy("dist2", right_id)
         best = (
             best.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
         ).persist()
+        best_cache = best  # the handle that actually holds the cache
 
         # certification: k-th best distance <= (ring * cell)^2 (any
         # point beyond ring `ring` is at least ring*cell away)
@@ -187,14 +190,17 @@ def knn_join_cells(
         # caches can be dropped without recompute next round
         results.append(done.select(left_id, right_id, "dist2").localCheckpoint(eager=True))
         pending = pending.join(done_ids.select(left_id), left_id, "left_anti").persist()
+        pending_cache = pending
         best = best.join(done_ids.select(left_id), left_id, "left_anti")
         # full count (not limit-1) so the new pending cache is fully
         # materialized before its parent cache is dropped
         empty = pending.count() == 0
-        if prev_best is not None:
-            prev_best.unpersist()
-        if prev_pending is not None:
-            prev_pending.unpersist()
+        # unpersist the PERSISTED handles from the previous round (the
+        # derived anti-join views don't hold the cache)
+        if prev_best_cache is not None:
+            prev_best_cache.unpersist()
+        if prev_pending_cache is not None:
+            prev_pending_cache.unpersist()
         if empty:
             break
     else:

@@ -136,28 +136,12 @@ MAX_MERGE_ANGLE = 130.0  # RoadMerger.java:48
 _MU = 2.0 * 3.141592653589793 / (1 << 24)
 
 
-_POLE = 3.141592653589793 / 2 - 1e-9
-
-
-def _bearing_deg(y1, x1, y2, x2) -> float:
-    """Rhumb-line bearing in degrees over map units
-    (Coord.bearingToOnRhumbLine); latitudes clamped just inside the
-    poles (map lat +-2^22 units IS +-90 deg, where the Mercator
-    stretch is singular)."""
-    import math
-
-    lat1 = min(max(y1 * _MU, -_POLE), _POLE)
-    lat2 = min(max(y2 * _MU, -_POLE), _POLE)
-    lon1, lon2 = x1 * _MU, x2 * _MU
-    dlon = lon2 - lon1
-    dphi = math.log(math.tan(lat2 / 2 + math.pi / 4) / math.tan(lat1 / 2 + math.pi / 4))
-    return math.degrees(math.atan2(dlon, dphi))
-
-
 def _turn_angle(c1, c2, c3) -> float:
     """Utils.getAngle: change of direction at c2 (0 = straight)."""
-    a = _bearing_deg(c2[0], c2[1], c1[0], c1[1])
-    b = _bearing_deg(c2[0], c2[1], c3[0], c3[1])
+    from ..functions.bearing import rhumb_bearing_mu_deg
+
+    a = rhumb_bearing_mu_deg(c2[0], c2[1], c1[0], c1[1])
+    b = rhumb_bearing_mu_deg(c2[0], c2[1], c3[0], c3[1])
     ang = b - (a - 180)
     while ang > 180:
         ang -= 360

@@ -229,7 +229,11 @@ def apply_pushed_to_members(
         d = x.repartition("kind", "id").sortWithinPartitions(
             "kind", "id", "rel_id", "push_idx", "m_idx"
         )
-        result = d.mapInPandas(run_batches, _PUSH_APPLY_SCHEMA).persist()
+        # eager localCheckpoint: materializes the round's member
+        # updates once and truncates lineage, so no persisted cache
+        # accumulates across rounds (blocks are freed by the context
+        # cleaner when the handle goes out of scope)
+        result = d.mapInPandas(run_batches, _PUSH_APPLY_SCHEMA).localCheckpoint(eager=True)
         upd = result.select("kind", "id", F.col("tags").alias("_new_tags"))
         features = (
             features.join(upd, ["kind", "id"], "left")

@@ -80,16 +80,48 @@ def turn_restrictions(
         F.col("id").alias("rel_id"), "tags", "members"
     )
 
-    restriction = F.coalesce(tags.getItem("restriction"))
+    # restriction:<vehicle>=kind TAGS (RestrictionRelation:115-137):
+    # when present, the mask starts at 0xff and each named vehicle's
+    # bits clear; the kind comes from the plain tag or the first
+    # (key-sorted) vehicle entry; DIFFERING kinds invalidate
+    fm0 = _flag_map()
+    rv = F.expr(
+        "array_sort(map_entries(map_filter(tags, (k, v) -> k like 'restriction:%')))"
+    )
+    rv_kinds = F.expr(
+        "array_distinct(transform(map_entries(map_filter(tags, (k, v) -> k like 'restriction:%')), e -> e.value))"
+    )
+    rv_mask = F.aggregate(
+        rv,
+        F.lit(0xFF),
+        lambda acc, e: acc
+        - acc.bitwiseAND(F.coalesce(fm0[F.substring(e.getField("key"), 13, 64)], F.lit(0))),
+    )
+    restriction = F.coalesce(tags.getItem("restriction"), F.expr("get(" + (
+        "array_sort(map_entries(map_filter(tags, (k, v) -> k like 'restriction:%')))"
+    ) + ", 0).value"))
     # type=restriction:<vehicle> applies only to that vehicle: mask
     # starts at 0xff with the vehicle's bits cleared
     type_vehicle = F.when(
         rtype.startswith("restriction:"), F.expr("substring(tags['type'], 13)")
     )
-    base_mask = F.when(
-        type_vehicle.isNotNull(),
-        F.lit(0xFF) - F.coalesce(_flag_map()[type_vehicle], F.lit(0)),
-    ).otherwise(F.lit(DEFAULT_EXCEPT_MASK))
+    # precedence per the reference's execution order: the vehicles
+    # block runs first but the type=restriction:<v> block RESETS the
+    # mask afterwards (:172-180), so the type form wins when both occur
+    base_mask = (
+        F.when(type_vehicle.isNotNull(), F.lit(0xFF) - F.coalesce(_flag_map()[type_vehicle], F.lit(0)))
+        .when(F.size(rv) > 0, rv_mask)
+        .otherwise(F.lit(DEFAULT_EXCEPT_MASK))
+    )
+    # conflicting restriction:<v> kinds -> relation invalid
+    kinds_consistent = (F.size(rv_kinds) <= 1) & (
+        tags.getItem("restriction").isNull()
+        | (F.size(rv_kinds) == 0)
+        | tags.getItem("restriction").eqNullSafe(F.expr("get(" + (
+            "array_distinct(transform(map_entries(map_filter(tags, (k, v) -> k like 'restriction:%')), e -> e.value))"
+        ) + ", 0)"))
+    )
+    r = r.filter(kinds_consistent)
     # except=v1;v2 ORs bits in (split on , or ;)
     fm = _flag_map()
     except_mask = F.when(

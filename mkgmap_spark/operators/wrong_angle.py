@@ -49,21 +49,12 @@ def hp_to_display(hp: np.ndarray) -> np.ndarray:
     return (hp + (1 << (DELTA_SHIFT - 1))) >> DELTA_SHIFT
 
 
-_POLE = math.pi / 2 - 1e-9
-
-
 def _bearing(lat1, lon1, lat2, lon2) -> float:
-    """Rhumb-line bearing in degrees (Coord.bearingToOnRhumbLine);
-    inputs in radians, latitudes clamped just inside the poles."""
-    lat1 = min(max(lat1, -_POLE), _POLE)
-    lat2 = min(max(lat2, -_POLE), _POLE)
-    dlon = lon2 - lon1
-    if abs(dlon) > math.pi:
-        dlon = -(2 * math.pi - dlon) if dlon > 0 else (2 * math.pi + dlon)
-    dphi = math.log(
-        math.tan(lat2 / 2 + math.pi / 4) / math.tan(lat1 / 2 + math.pi / 4)
-    )
-    return math.degrees(math.atan2(dlon, dphi))
+    """Rhumb-line bearing in degrees; inputs in radians (shared
+    implementation in functions/bearing.py)."""
+    from ..functions.bearing import rhumb_bearing_rad_deg
+
+    return rhumb_bearing_rad_deg(lat1, lon1, lat2, lon2)
 
 
 def _bearing_err(c_hp, n_hp, c_disp, n_disp) -> float:

@@ -82,17 +82,33 @@ def build_tiles(
                 .select("id", "level", "tile_id", "kind_i", "part")
             )
             ways = lvl_df.filter(F.col("kind_i") != tiling.POINT_KIND)
+            piece_ids = False
             if geometry_filters:
                 from ..operators.simplify import line_filter_chain, shape_filter_chain
 
+                # the LineSplitter inside the chain produces multiple
+                # PIECES per way id; ids must stay unique through
+                # assignment (duplicate ids would collide in membership
+                # and fan out the private-tile join), so pieces get
+                # synthetic ids id*4096+piece, decoded back below
                 lines = line_filter_chain(
                     ways.filter(F.col("kind_i") == tiling.LINE_KIND), resolution
-                ).drop("part")
+                ).withColumnRenamed("part", "_piece")
                 shapes = shape_filter_chain(
                     ways.filter(F.col("kind_i") == tiling.SHAPE_KIND), resolution
+                ).withColumn("_piece", F.lit(0))
+                ways = (
+                    lines.unionByName(shapes)
+                    .withColumn("id", F.col("id") * 4096 + F.col("_piece"))
+                    .drop("_piece")
                 )
-                ways = lines.unionByName(shapes, allowMissingColumns=True)
+                piece_ids = True
             tiles, m_ways = assign_ways_with_split(spark, ways, result.index, tiles, shift, level)
+            if piece_ids:
+                # decode: original way id + a part unique across pieces
+                m_ways = m_ways.withColumn(
+                    "part", (F.pmod(F.col("id"), F.lit(4096)) * 256 + F.col("part")).cast("int")
+                ).withColumn("id", F.floor(F.col("id") / 4096).cast("long"))
             m_ways = m_ways.join(lvl_df.select("id", "kind_i"), "id").select(
                 "id", "level", "tile_id", "kind_i", "part"
             )

@@ -492,14 +492,17 @@ def eval_pred(pred, tags: dict[str, str], geom: dict | None = None, el: dict | N
             return v is not None
         if pred.op == "not_exists":
             return v is None
-        if pred.op == "=":
-            # EqualsOp: LHS null -> false; equal to (possibly null) RHS
-            lv = str(v) if isinstance(v, float) else v
-            return lv is not None and lv == rhs
-        if pred.op == "!=":
-            # mkgmap: a!=b is true when a is missing too (NotEqualOp)
-            lv = str(v) if isinstance(v, float) else v
-            return not (lv is not None and lv == rhs)
+        if pred.op in ("=", "!="):
+            if isinstance(v, float):
+                # numeric style functions compare NUMERICALLY on both
+                # engines (documented divergence from the reference's
+                # formatted-string equality — see compiler.compile_pred)
+                b = extract_number(rhs)
+                eq = b is not None and v == b
+            else:
+                # EqualsOp: LHS null -> false; equal to possibly-null RHS
+                eq = v is not None and v == rhs
+            return eq if pred.op == "=" else not eq
         if pred.op == "~":
             return v is not None and re.fullmatch(pred.value, str(v)) is not None
         if pred.op == "!~":

@@ -12,17 +12,13 @@ Coordinates: degrees -> 24-bit map units (Utils.toMapUnit rounding).
 
 from __future__ import annotations
 
-import math
 import xml.etree.ElementTree as ET
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from ..mapunits import to_map_unit  # canonical Utils.toMapUnit rounding
 from .o5m import O5M_SCHEMA
-
-
-def to_map_unit(deg: float) -> int:
-    return int(math.floor(deg * ((1 << 24) / 360.0) + 0.5))
 
 
 def parse_osm_xml(text: str) -> list[dict]:

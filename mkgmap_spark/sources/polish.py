@@ -27,10 +27,10 @@ scale the corpus is many .mp tiles, so partitions stay balanced.
 
 from __future__ import annotations
 
-import math
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from ..mapunits import to_map_unit  # canonical Utils.toMapUnit rounding
 
 DEFAULT_MP_LEVELS = {0: 24, 1: 22, 2: 18, 3: 17}  # mapLevels():96-104
 
@@ -42,11 +42,6 @@ FEATURE_SCHEMA = (
     "id long, kind string, type_code int, label string, "
     "min_res int, max_res int, lats array<int>, lons array<int>"
 )
-
-
-def to_map_unit(deg: float) -> int:
-    """Utils.toMapUnit: degrees -> 24-bit map units (Math.round)."""
-    return int(math.floor(deg * ((1 << 24) / 360.0) + 0.5))
 
 
 def _parse_coords(value: str) -> tuple[list[int], list[int]]:
