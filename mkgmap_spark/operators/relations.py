@@ -136,6 +136,11 @@ def apply_pushed_to_members(
         # Rows arrive repartitioned by (kind, id) and sorted by
         # (kind, id, rel_id, push_idx, m_idx), so groups are contiguous
         # and already in execution order.
+        # NOTE: deliberately NOT functions/grouped.grouped_map_in_pandas
+        # — that helper still hands each group a pandas slice (~40us x
+        # |members| here, measured); this executor avoids per-group
+        # pandas entirely. Keep the carry-over logic in sync with the
+        # helper's.
         import numpy as _np
         import pandas as _pd
 
