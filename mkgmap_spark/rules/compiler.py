@@ -596,12 +596,13 @@ def compile_rules(
     also ``pushed`` (apply-action snapshots for the member executor).
     """
     spark = df.sparkSession
+    # map_concat-based tag updates rely on last-writer-wins key dedup.
+    # This is a runtime-settable SQL conf, so set it here rather than
+    # demanding the caller's session factory did (a vanilla
+    # SparkSession defaults to EXCEPTION and would fail at execution).
     policy = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
     if policy != "LAST_WIN":
-        raise RuntimeError(
-            "compile_rules requires spark.sql.mapKeyDedupPolicy=LAST_WIN "
-            "(set by mkgmap_spark.session.get_spark)"
-        )
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
     main = [r for r in rules if not r.finalize]
     fin = [r for r in rules if r.finalize]
