@@ -1132,16 +1132,19 @@ def q_turn_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins node n to node n+1): validation (supported kinds, single
     from/via/to, via must be an endpoint of both ways) + except-mask
     derivation, all Column-side."""
-    from pyspark.sql import Window
-
+    from .functions.rank import global_rank
     from .operators.routing import turn_restrictions
 
     o = _read(spark, sf_dir, "orders")
-    n = o.select(F.row_number().over(Window.orderBy("o_orderkey")).cast("long").alias("n"))
+    # dense surrogate 1..N without a single-partition global window:
+    # range-partitioned exclusive scan (the count job inside
+    # global_rank also gives us N — no extra action on the big table)
+    ranked = global_rank(o.select("o_orderkey"), ["o_orderkey"], out="n")
+    n = ranked.select("n")
     nodes = n.select(
         F.col("n").alias("id"), lat_col("n").cast("int").alias("lat"), lon_col("n").cast("int").alias("lon")
     )
-    cnt = nodes.count()
+    cnt = o.count()
     ways = n.filter(F.col("n") <= cnt - 1).select(
         F.col("n").alias("id"),
         F.array(lat_col("n").cast("int"), (F.pmod((F.col("n") + 1) * C_LAT, F.lit(LAT_MOD)) - LAT_OFF).cast("int")).alias("lats"),
@@ -1281,7 +1284,7 @@ GROUP BY road_id, side
 
 
 def q_mdr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .functions.rank import global_rank
 
     cust = _read(spark, sf_dir, "customer").select(
         F.col("c_name").alias("name"), F.lit("customer").alias("src")
@@ -1291,15 +1294,16 @@ def q_mdr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     allnames = cust.unionByName(supp)
     # binary-collation sort key: lowercase, spaces squashed (the
-    # engine's Label.squashSpaces normal form)
+    # engine's Label.squashSpaces normal form).  The global record
+    # number is a range-partitioned exclusive scan, not a bare
+    # Window.orderBy — at 100 TB the name index never lands on one task.
     key = F.regexp_replace(F.lower(F.trim(F.col("name"))), r"\s+", " ")
-    w = Window.orderBy(F.col("sort_key"), F.col("src"))
-    return (
+    grouped = (
         allnames.withColumn("sort_key", key)
         .groupBy("sort_key", "src")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("idx", F.row_number().over(w).cast("long"))
     )
+    return global_rank(grouped, ["sort_key", "src"], out="idx")
 
 
 Q_MDR_INDEX_SQL = """
