@@ -6,12 +6,13 @@ via node when
 
 - the restriction kind is supported (:64-67 supportedRestrictions:
   no_/only_ right|left|straight / no_u_turn / no_entry / no_exit),
-- exactly one 'from' way, one 'to' way and one 'via' node resolve
-  (via-WAY chains are a reference extension not carried over —
-  documented divergence; the reference also warns-and-drops most
-  multi-member cases),
-- the via node is an END point of both the from and the to way
-  (RestrictionRelation.eval connectivity checks),
+- exactly one 'from' way and one 'to' way resolve, and the via is
+  either one NODE or an ordered CHAIN of via ways (:235-248 collects
+  every via-way member; :352-413 walks the chain junction-to-junction),
+- via NODE form: the node is an END point of both the from and the to
+  way; via WAY form: from attaches at an endpoint of the first via
+  way, each via way attaches at the running junction, to attaches at
+  the last junction (RestrictionRelation.eval connectivity checks),
 
 and carries an exception bitmask over the vehicle classes
 (AccessTagsAndBits bit order): DEFAULT_EXCEPT_MASK = FOOT|EMERGENCY
@@ -145,16 +146,16 @@ def turn_restrictions(
         m("via", "node").alias("_via"),
         m("via", "way").alias("_viaw"),
     )
-    # exactly one from and to; via is one NODE or one WAY (longer
-    # via-way chains are dropped like the reference's warn-and-skip
-    # multi-member paths)
+    # exactly one from and to; via is one NODE or an ordered CHAIN of
+    # one or more via ways (RestrictionRelation.java:235-248 appends
+    # every via-way member; a via way AFTER a via node invalidates)
     r = r.filter(
         F.col("restriction").isin(*SUPPORTED_RESTRICTIONS)
         & (F.size("_from") == 1)
         & (F.size("_to") == 1)
         & (
             ((F.size("_via") == 1) & (F.size("_viaw") == 0))
-            | ((F.size("_via") == 0) & (F.size("_viaw") == 1))
+            | ((F.size("_via") == 0) & (F.size("_viaw") >= 1))
         )
     ).select(
         "rel_id",
@@ -165,6 +166,7 @@ def turn_restrictions(
         F.expr("get(_to, 0).ref").alias("to_way"),
         F.expr("get(_via, 0).ref").alias("via_node"),
         F.expr("get(_viaw, 0).ref").alias("via_way"),
+        F.expr("transform(_viaw, m -> m.ref)").alias("via_ways"),
     )
 
     wends = ways.select(
@@ -192,41 +194,114 @@ def turn_restrictions(
         .drop("_sy", "_sx", "_ey", "_ex")
     )
 
-    # --- single via-WAY form (RestrictionRelation via-way handling):
-    # from must join one end of the via way and to the other —
-    # the restriction spans the whole via way
-    vw = wends.select(
-        F.col("_wid").alias("via_way"),
-        F.col("_sy").alias("_vsy"), F.col("_sx").alias("_vsx"),
-        F.col("_ey").alias("_vey"), F.col("_ex").alias("_vex"),
+    # --- via-WAY chain form (RestrictionRelation.java:352-413): the
+    # 'from' way must end at an endpoint of the FIRST via way; each
+    # subsequent via way must start or end at the running junction
+    # (its other endpoint becomes the next junction); the 'to' way
+    # must end at the LAST junction.  Distributed re-expression:
+    # posexplode the ordered via refs -> equi join way endpoints ->
+    # regroup into an ordered chain array -> one JVM aggregate() fold
+    # per relation walks the chain (chains are short — real OSM data
+    # has 1-3 via ways — so the per-row array is bounded).
+    rwb = r.filter(F.size("via_ways") >= 1)
+    ve = rwb.select("rel_id", F.posexplode("via_ways").alias("_pos", "_wid"))
+    vchain = (
+        ve.join(wends, "_wid")
+        .groupBy("rel_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("_pos", "_sy", "_sx", "_ey", "_ex"))
+            ).alias("_chain")
+        )
     )
 
-    def touches_pt(py, px):
-        return ((F.col("_sy") == py) & (F.col("_sx") == px)) | (
-            (F.col("_ey") == py) & (F.col("_ex") == px)
+    fr = wends.select(
+        F.col("_wid").alias("from_way"),
+        F.col("_sy").alias("_fy1"), F.col("_sx").alias("_fx1"),
+        F.col("_ey").alias("_fy2"), F.col("_ex").alias("_fx2"),
+    )
+    to = wends.select(
+        F.col("_wid").alias("to_way"),
+        F.col("_sy").alias("_ty1"), F.col("_sx").alias("_tx1"),
+        F.col("_ey").alias("_ty2"), F.col("_ex").alias("_tx2"),
+    )
+    rw = rwb.join(vchain, "rel_id").join(fr, "from_way").join(to, "to_way")
+
+    c0 = F.expr("get(_chain, 0)")
+
+    def _f_at(py, px):
+        return ((F.col("_fy1") == py) & (F.col("_fx1") == px)) | (
+            (F.col("_fy2") == py) & (F.col("_fx2") == px)
         )
 
+    f_at_v1 = _f_at(c0.getField("_sy"), c0.getField("_sx"))
+    f_at_v2 = _f_at(c0.getField("_ey"), c0.getField("_ex"))
+    # reference checks v1 first (eval loop :367-374): when the from way
+    # touches both ends of the first via way, v1 wins
     rw = (
-        r.filter(F.col("via_way").isNotNull())
-        .join(vw, "via_way")
-        .join(wends.withColumnRenamed("_wid", "from_way"), "from_way")
-        .withColumn("_f_start", touches_pt(F.col("_vsy"), F.col("_vsx")))
-        .withColumn("_f_end", touches_pt(F.col("_vey"), F.col("_vex")))
-        .drop("_sy", "_sx", "_ey", "_ex")
-        .join(wends.withColumnRenamed("_wid", "to_way"), "to_way")
-        .withColumn("_t_start", touches_pt(F.col("_vsy"), F.col("_vsx")))
-        .withColumn("_t_end", touches_pt(F.col("_vey"), F.col("_vex")))
-        .drop("_sy", "_sx", "_ey", "_ex")
-        .filter(
-            (F.col("_f_start") & F.col("_t_end")) | (F.col("_f_end") & F.col("_t_start"))
+        rw.withColumn("_ok0", f_at_v1 | f_at_v2)
+        .withColumn("_vy0", F.when(f_at_v1, c0.getField("_sy")).otherwise(c0.getField("_ey")))
+        .withColumn("_vx0", F.when(f_at_v1, c0.getField("_sx")).otherwise(c0.getField("_ex")))
+    )
+    # chain walk: fold over the ordered via ways; acc = (ok, junction).
+    # The first via way is itself re-walked from the from-junction,
+    # yielding its far endpoint — exactly the reference's viaPoints loop.
+    walk = F.aggregate(
+        F.col("_chain"),
+        F.struct(
+            F.col("_ok0").alias("ok"), F.col("_vy0").alias("vy"), F.col("_vx0").alias("vx")
+        ),
+        lambda acc, w: F.struct(
+            (
+                acc.getField("ok")
+                & (
+                    ((w.getField("_sy") == acc.getField("vy")) & (w.getField("_sx") == acc.getField("vx")))
+                    | ((w.getField("_ey") == acc.getField("vy")) & (w.getField("_ex") == acc.getField("vx")))
+                )
+            ).alias("ok"),
+            F.when(
+                (w.getField("_sy") == acc.getField("vy")) & (w.getField("_sx") == acc.getField("vx")),
+                w.getField("_ey"),
+            ).otherwise(w.getField("_sy")).alias("vy"),
+            F.when(
+                (w.getField("_sy") == acc.getField("vy")) & (w.getField("_sx") == acc.getField("vx")),
+                w.getField("_ex"),
+            ).otherwise(w.getField("_sx")).alias("vx"),
+        ),
+    )
+    rw = rw.withColumn("_walk", walk)
+    last_vy = F.col("_walk").getField("vy")
+    last_vx = F.col("_walk").getField("vx")
+    to_attaches = ((F.col("_ty1") == last_vy) & (F.col("_tx1") == last_vx)) | (
+        (F.col("_ty2") == last_vy) & (F.col("_tx2") == last_vx)
+    )
+    # validity (:331-344, :418-428): every via ref resolved to a way,
+    # no via way closed (start==end -> ambiguous walk), via ways must
+    # not double as the from or to way, walk connected end-to-end
+    not_closed = F.forall(
+        "_chain",
+        lambda w: ~(
+            (w.getField("_sy") == w.getField("_ey")) & (w.getField("_sx") == w.getField("_ex"))
+        ),
+    )
+    rw = (
+        rw.filter(
+            (F.size("_chain") == F.size("via_ways"))
+            & not_closed
+            & ~F.array_contains(F.col("via_ways"), F.col("from_way"))
+            & ~F.array_contains(F.col("via_ways"), F.col("to_way"))
+            & F.col("_walk").getField("ok")
+            & to_attaches
         )
-        # report the junction where the restriction STARTS (from x via)
-        .withColumn("via_lat", F.when(F.col("_f_start"), F.col("_vsy")).otherwise(F.col("_vey")))
-        .withColumn("via_lon", F.when(F.col("_f_start"), F.col("_vsx")).otherwise(F.col("_vex")))
+        # report the junction where the restriction STARTS (from x via),
+        # the reference's viaPoints[0]
+        .withColumn("via_lat", F.col("_vy0"))
+        .withColumn("via_lon", F.col("_vx0"))
     )
 
     cols = [
         "rel_id", "restriction", "except_mask", "via_node", "via_way",
-        "from_way", "to_way", "via_lat", "via_lon",
+        "via_ways", "from_way", "to_way", "via_lat", "via_lon",
     ]
+    rn = rn.withColumn("via_ways", F.lit(None).cast("array<long>"))
     return rn.select(*cols).unionByName(rw.select(*cols))

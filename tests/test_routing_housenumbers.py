@@ -154,3 +154,54 @@ def test_turn_restriction_via_way(spark):
     r = out[200]
     assert r["via_way"] == 20 and r["via_node"] is None
     assert (r["via_lat"], r["via_lon"]) == (0, 1000)  # from x via junction
+
+
+def test_turn_restriction_via_way_chain(spark):
+    """Multi-via-way chains (RestrictionRelation.java:235-248, :375-399):
+    the ordered via ways walk junction-to-junction; the dual-carriageway
+    U-turn ban is the canonical real-world 2-via-way case."""
+    nodes = spark.createDataFrame([(1, 0, 0)], "id long, lat int, lon int")
+    ways = spark.createDataFrame(
+        [
+            (10, [0, 0], [0, 1000]),        # from: ends at (0,1000)
+            (20, [0, 0], [1000, 2000]),     # via1: (0,1000)-(0,2000)
+            (21, [0, 5], [2000, 2000]),     # via2: (0,2000)-(5,2000), REVERSED walk ok
+            (22, [5, 5], [2000, 3000]),     # via3: (5,2000)-(5,3000)
+            (11, [5, 9], [3000, 3000]),     # to: starts at (5,3000)
+            (12, [500, 500], [0, 500]),     # disconnected
+            (30, [7, 7, 7], [0, 100, 0]),   # closed ring (start==end)
+        ],
+        "id long, lats array<int>, lons array<int>",
+    )
+    tags = {"type": "restriction", "restriction": "no_u_turn"}
+    rels = spark.createDataFrame(
+        [
+            # 3-way chain, all connected in member order
+            (300, tags, _members(("from", "way", 10), ("via", "way", 20),
+                                 ("via", "way", 21), ("via", "way", 22), ("to", "way", 11))),
+            # 2-way chain where 'to' attaches at the middle, not the end
+            (301, tags, _members(("from", "way", 10), ("via", "way", 20),
+                                 ("via", "way", 21), ("to", "way", 11))),
+            # broken chain: via2 disconnected from via1
+            (302, tags, _members(("from", "way", 10), ("via", "way", 20),
+                                 ("via", "way", 12), ("to", "way", 11))),
+            # chain out of member order (22 before 21) -> walk breaks
+            (303, tags, _members(("from", "way", 10), ("via", "way", 20),
+                                 ("via", "way", 22), ("via", "way", 21), ("to", "way", 11))),
+            # closed via way -> ambiguous, dropped
+            (304, tags, _members(("from", "way", 10), ("via", "way", 30), ("to", "way", 11))),
+            # via way doubling as the from way -> dropped
+            (305, tags, _members(("from", "way", 20), ("via", "way", 20), ("to", "way", 11))),
+            # unresolved via ref -> dropped
+            (306, tags, _members(("from", "way", 10), ("via", "way", 999), ("to", "way", 11))),
+        ],
+        "id long, tags map<string,string>, "
+        "members array<struct<role: string, mtype: string, ref: long>>",
+    )
+    out = {r["rel_id"]: r for r in turn_restrictions(rels, ways, nodes).collect()}
+    assert set(out) == {300}
+    r = out[300]
+    assert r["via_ways"] == [20, 21, 22]
+    assert r["via_way"] == 20
+    # junction where the restriction starts: from x first via way
+    assert (r["via_lat"], r["via_lon"]) == (0, 1000)
