@@ -136,3 +136,134 @@ def write_gpx_debug(features: DataFrame, out_dir: str) -> None:
         F.lit("</trkseg></trk></gpx>"),
     )
     features.select(gpx.alias("value")).write.mode("overwrite").text(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# MDX / NSIS / GMAPI — the remaining --index / installer combiners
+# (main/Main.java:689-716 registers MdxBuilder with MdrBuilder on
+# --index, NsisBuilder on --nsis, GmapiBuilder on --gmapi).  Like the
+# TDB/gmapsupp forms above, the engine emits the combiner SEMANTICS as
+# tables; the binary/installer file encodings are out of scope.
+# ---------------------------------------------------------------------------
+
+DEFAULT_FAMILY_ID = 6324  # CommandArgs.DEFAULT_FAMILYID
+DEFAULT_PRODUCT_ID = 1
+
+
+def mdx_manifest(
+    manifest: DataFrame,
+    family_id: int = DEFAULT_FAMILY_ID,
+    product_id: int = DEFAULT_PRODUCT_ID,
+) -> DataFrame:
+    """MDX mapset listing: "basically just a list of maps in a set"
+    (combiners/MdxBuilder.java:26-49 — MdxFile.addMap(mapnameAsInt,
+    hexname, filename) per img tile, plus the family/product header
+    carried on every row)."""
+    return manifest.select(
+        F.lit(family_id).alias("family_id"),
+        F.lit(product_id).alias("product_id"),
+        F.col("mapname"),
+        F.upper(F.hex(F.col("mapname"))).alias("hexname"),
+        F.concat(F.col("mapname").cast("string"), F.lit(".img")).alias("filename"),
+    )
+
+
+def nsis_manifest(
+    manifest: DataFrame,
+    family_name: str = "OSM map",
+    base_filename: str = "osm",
+    product_id: int = DEFAULT_PRODUCT_ID,
+    has_index: bool = False,
+    typ_name: str | None = None,
+) -> DataFrame:
+    """NSIS installer script rows (combiners/NsisBuilder.java:129-180):
+    the DEFINES header, the registry line, one added-File row per
+    artifact and one removed-Delete row per artifact.  Section order
+    and per-tile line order follow the reference's writeNsisFile;
+    columns (section, seq, line) make the script reconstructible with
+    ORDER BY section_rank, seq."""
+    spark = manifest.sparkSession
+    defines = [
+        f'!define DEFAULT_DIR "C:\\Garmin\\Maps\\{family_name}"',
+        f'!define INSTALLER_DESCRIPTION "{family_name}"',
+        f'!define INSTALLER_NAME "{family_name}"',
+        f'!define MAPNAME "{base_filename}"',
+        f'!define PRODUCT_ID "{product_id}"',
+        f'!define REG_KEY "{family_name}"',
+    ]
+    if has_index:
+        defines.append("!define INDEX")
+    if typ_name:
+        defines.append(f'!define TYPNAME "{typ_name}"')
+    added = ['  File "${MAPNAME}.img"']
+    removed = ['  Delete "$INSTDIR\\${MAPNAME}.img"']
+    if has_index:
+        added += ['  File "${MAPNAME}_mdr.img"', '  File "${MAPNAME}.mdx"']
+        removed += ['  Delete "$INSTDIR\\${MAPNAME}_mdr.img"', '  Delete "$INSTDIR\\${MAPNAME}.mdx"']
+    if typ_name:
+        added.append(f'  File "{typ_name}"')
+        removed.append(f'  Delete "$INSTDIR\\{typ_name}"')
+    added.append('  File "${MAPNAME}.tdb"')
+    removed.append('  Delete "$INSTDIR\\${MAPNAME}.tdb"')
+
+    head_rows = (
+        [("defines", i, s) for i, s in enumerate(defines)]
+        + [("regbin", 0,
+            '  WriteRegBin HKLM "SOFTWARE\\Garmin\\MapSource\\Families\\${REG_KEY}" '
+            f'"ID" {family_id_hex(DEFAULT_FAMILY_ID)}')]
+        + [("added_files", i, s) for i, s in enumerate(added)]
+        + [("removed_files", i, s) for i, s in enumerate(removed)]
+        # trails the per-tile Delete rows (seq=mapname < 2^40)
+        + [("removed_files", 1 << 40, '  Delete "$INSTDIR\\Uninstall.exe"')]
+    )
+    head = spark.createDataFrame(head_rows, "section string, seq long, line string")
+    # per-tile rows are distributed (a planet mapset has thousands);
+    # seq = mapname sorts them after the fixed header lines (header
+    # seqs are < 100, mapnames are 8-digit) without any global window
+    per_tile_added = manifest.select(
+        F.lit("added_files").alias("section"),
+        F.col("mapname").alias("seq"),
+        F.concat(F.lit('  File "'), F.col("mapname").cast("string"), F.lit('.img"')).alias("line"),
+    )
+    per_tile_removed = manifest.select(
+        F.lit("removed_files").alias("section"),
+        F.col("mapname").alias("seq"),
+        F.concat(F.lit('  Delete "$INSTDIR\\'), F.col("mapname").cast("string"), F.lit('.img"')).alias("line"),
+    )
+    return head.unionByName(per_tile_added).unionByName(per_tile_removed)
+
+
+def family_id_hex(family_id: int) -> str:
+    """NSIS WriteRegBin little-endian hex id (NsisBuilder.init:58-63)."""
+    return f"{family_id & 0xFF:02x}{(family_id >> 8) & 0xFF:02x}"
+
+
+def gmapi_layout(
+    manifest: DataFrame,
+    family_name: str = "OSM map",
+    overview_name: str = "osmmap",
+    has_index: bool = False,
+    typ_name: str | None = None,
+) -> DataFrame:
+    """GMAPI (.gmap directory) layout rows (combiners/GmapiBuilder.java:
+    85-136): one row per artifact placed under <family>.gmap/ — the
+    Info.xml registry stand-in, the optional MDX/MDR copies, the TYP
+    copy, one unzipped tile directory per img, and the per-product
+    overview + TDB.  Columns (path, kind, mapname)."""
+    spark = manifest.sparkSession
+    root = f"{family_name}.gmap"
+    fixed = [(f"{root}/Info.xml", "info_xml", None)]
+    if has_index:
+        fixed.append((f"{root}/{overview_name}.mdx", "mdx", None))
+        fixed.append((f"{root}/{overview_name}_mdr", "mdr_dir", None))
+    if typ_name:
+        fixed.append((f"{root}/{typ_name}", "typ", None))
+    fixed.append((f"{root}/Product1/{overview_name}.tdb", "tdb", None))
+    fixed.append((f"{root}/Product1/{overview_name}", "overview_dir", None))
+    head = spark.createDataFrame(fixed, "path string, kind string, mapname long")
+    tiles = manifest.select(
+        F.concat(F.lit(root + "/Product1/"), F.col("mapname").cast("string")).alias("path"),
+        F.lit("tile_dir").alias("kind"),
+        F.col("mapname"),
+    )
+    return head.unionByName(tiles)

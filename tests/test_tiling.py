@@ -184,3 +184,53 @@ def test_gpx_debug_sink(spark, tmp_path):
     write_gpx_debug(df, out)
     txt = spark.read.text(out).collect()[0]["value"]
     assert "<gpx" in txt and "<trkpt" in txt and "90.0" in txt
+
+
+def test_combiners_mdx_nsis_gmapi(spark, documents_df):
+    """The --index / installer combiners as tables: MDX lists every img
+    tile once; NSIS script rows reconstruct in the reference's section
+    order; GMAPI layout places one tile dir per img under Product1."""
+    from mkgmap_spark.plans.combiners import (
+        gmapi_layout,
+        mdx_manifest,
+        nsis_manifest,
+        tdb_manifest,
+    )
+    from mkgmap_spark.plans.pipeline import build_tiles
+
+    res = build_tiles(spark, documents_df)
+    man = tdb_manifest(res.tiles, res.membership)
+    n = man.count()
+
+    mdx = mdx_manifest(man).collect()
+    assert len(mdx) == n
+    assert all(r["family_id"] == 6324 and r["product_id"] == 1 for r in mdx)
+    by_name = {r["mapname"]: r for r in mdx}
+    assert by_name[63240001]["hexname"] == format(63240001, "X").upper()
+    assert by_name[63240001]["filename"] == "63240001.img"
+
+    nsis = nsis_manifest(man, has_index=True, typ_name="osm.typ").collect()
+    sections = {r["section"] for r in nsis}
+    assert sections == {"defines", "regbin", "added_files", "removed_files"}
+    added = sorted(
+        (r for r in nsis if r["section"] == "added_files"), key=lambda r: r["seq"]
+    )
+    # fixed header lines first, then one File row per tile
+    assert added[0]["line"] == '  File "${MAPNAME}.img"'
+    assert sum(1 for r in added if '.img"' in r["line"]) >= n
+    removed = sorted(
+        (r for r in nsis if r["section"] == "removed_files"), key=lambda r: r["seq"]
+    )
+    assert removed[-1]["line"] == '  Delete "$INSTDIR\\Uninstall.exe"'
+    defines = [r["line"] for r in nsis if r["section"] == "defines"]
+    assert "!define INDEX" in defines
+    assert '!define TYPNAME "osm.typ"' in defines
+
+    lay = gmapi_layout(man, has_index=True).collect()
+    kinds = {}
+    for r in lay:
+        kinds[r["kind"]] = kinds.get(r["kind"], 0) + 1
+    assert kinds["tile_dir"] == n
+    assert kinds["info_xml"] == 1 and kinds["tdb"] == 1
+    assert kinds["mdx"] == 1 and kinds["mdr_dir"] == 1
+    assert all(r["path"].startswith("OSM map.gmap/") for r in lay)
