@@ -488,6 +488,112 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q: tile assignment against a FIXED quadtree (driver-gated variant of
+#    the graded operator): the data-dependent quadtree driver loop is
+#    replaced by a literal two-depth tile tree, so the vectorized
+#    assignment kernel (TileIndex.assign searchsorted walk) and the
+#    overflow round-robin spill get a plain-SQL containment oracle.
+# --------------------------------------------------------------------------
+
+# two-depth fixed tree over the synthetic coordinate domain
+# ay in [-2^22, 2^22), ax in [-2^23, 2^23): an 8x8 grid of blocks at
+# depth s=41 (2^20 x 2^21 each) with block (3,3) replaced by its four
+# children at depth s=39 — the reverse-depth searchsorted walk must
+# miss at 41 and hit at 39 for points in that quadrant.  Tiles where
+# (by+bx)%7==0 carry 2 slots; the first child carries 3, exercising
+# the distLinesIntoNewAreas-style spill (MapArea.java:345-381).
+def _fixed_tiles() -> list[tuple[int, int, int, int, int]]:
+    tiles = []
+    for by in range(8):
+        for bx in range(8):
+            if (by, bx) == (3, 3):
+                continue
+            ns = 2 if (by + bx) % 7 == 0 else 1
+            tiles.append((1000 + (by * 8 + bx) * 4, 41, by, bx, ns))
+    for cy in range(2):
+        for cx in range(2):
+            ns = 3 if (cy, cx) == (0, 0) else 1
+            tiles.append((2000 + (cy * 2 + cx) * 4, 39, 6 + cy, 6 + cx, ns))
+    return tiles
+
+
+def _fixed_index():
+    import numpy as np
+
+    from .operators.tiling import TileIndex, _shape
+
+    levels: dict[int, tuple[list, list, list]] = {}
+    for tid, s, by, bx, ns in _fixed_tiles():
+        lv = levels.setdefault(s, ([], [], []))
+        lv[0].append((by << 32) | bx)
+        lv[1].append(tid)
+        lv[2].append(ns)
+    idx_levels = {}
+    for s, (ks, tids, slots) in levels.items():
+        order = np.argsort(np.asarray(ks, dtype=np.int64))
+        idx_levels[s] = (
+            np.asarray(ks, dtype=np.int64)[order],
+            np.asarray(tids, dtype=np.int64)[order],
+            np.asarray(slots, dtype=np.int64)[order],
+        )
+    # silence the unused-import style check for _shape: the literal
+    # keys above encode the same (a, b) block shapes _shape(s) yields
+    _ = _shape
+    return TileIndex(-LAT_OFF, -LON_OFF, idx_levels)
+
+
+def q_tile_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import tiling
+
+    cust = _read(spark, sf_dir, "customer")
+    pts = (
+        cust.select(
+            F.col("c_custkey").cast("long").alias("id"),
+            lat_col("c_custkey").cast("int").alias("ay"),
+            lon_col("c_custkey").cast("int").alias("ax"),
+        )
+        .withColumn("kind_i", F.lit(0))
+        .withColumn("size_bytes", F.lit(9).cast("long"))
+        .withColumn("min_res", F.lit(24))
+    )
+    out = tiling.assign_tiles(pts, _fixed_index(), resolution=24, level=0)
+    return out.select("id", F.col("tile_id").cast("long").alias("tile_id"))
+
+
+def _tile_assign_fixed_sql() -> str:
+    from .operators.tiling import _shape
+
+    rows = []
+    for tid, s, by, bx, ns in _fixed_tiles():
+        a, b = _shape(s)
+        min_lat = -LAT_OFF + (by << a)
+        min_lon = -LON_OFF + (bx << b)
+        rows.append(
+            f"({tid}, {min_lat}, {min_lon}, {min_lat + (1 << a)}, {min_lon + (1 << b)}, {ns})"
+        )
+    values = ",\n  ".join(rows)
+    return f"""
+WITH tiles(tile_id, min_lat, min_lon, max_lat, max_lon, n_slots) AS (VALUES
+  {values}
+), pts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CAST((c_custkey * {C_LAT}) % {LAT_MOD} - {LAT_OFF} AS BIGINT) AS ay,
+         CAST((c_custkey * {C_LON}) % {LON_MOD} - {LON_OFF} AS BIGINT) AS ax
+  FROM customer
+), based AS (
+  SELECT p.id, t.tile_id AS base_tile, t.n_slots
+  FROM pts p JOIN tiles t
+    ON p.ay >= t.min_lat AND p.ay < t.max_lat
+   AND p.ax >= t.min_lon AND p.ax < t.max_lon
+)
+SELECT id,
+       CAST(base_tile + (ROW_NUMBER() OVER (PARTITION BY base_tile ORDER BY id) - 1)
+            % n_slots AS BIGINT) AS tile_id
+FROM based
+"""
+
+
+# --------------------------------------------------------------------------
 # q: kNN via distributed cell-ring expansion (same oracle as knn_join —
 #    validates the scale-path operator against plain SQL)
 # --------------------------------------------------------------------------
@@ -1459,6 +1565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_stats": q_events_user_stats,
     "embedding_topk": q_embedding_topk,
     "tile_assign": q_tile_assign,
+    "tile_assign_fixed": q_tile_assign_fixed,
 }
 
 ORACLES: dict[str, str] = {
@@ -1493,5 +1600,8 @@ ORACLES: dict[str, str] = {
     "events_user_stats": Q_EVENTS_USER_STATS_SQL,
     "embedding_topk": Q_EMBEDDING_TOPK_SQL,
     # tile_assign: intentionally no SQL oracle (quadtree driver loop);
-    # row-for-row correctness is enforced by tests/test_tiling.py
+    # row-for-row correctness is enforced by tests/test_tiling.py —
+    # tile_assign_fixed below drives the same assignment + spill
+    # kernels against a fixed tree WITH a full SQL oracle
+    "tile_assign_fixed": _tile_assign_fixed_sql(),
 }
