@@ -524,7 +524,18 @@ def _add_fn_columns(
     if "fn:is_closed" in used:
         df = df.withColumn("_fn_is_closed", F.expr(f"if({closed_sql}, 'true', 'false')"))
     if "fn:is_complete" in used:
-        df = df.withColumn("_fn_is_complete", F.lit("true"))
+        # IsCompleteFunction: false for ways whose node refs fell
+        # outside the input extract (OsmHandler.java:165 sets it from
+        # the resolver's missing-ref flag).  The resolver emits a
+        # `complete` column; inputs without one (whole-planet batch,
+        # synthetic tables) are complete by construction.
+        if "complete" in df.columns:
+            df = df.withColumn(
+                "_fn_is_complete",
+                F.when(F.col("complete").cast("boolean"), F.lit("true")).otherwise(F.lit("false")),
+            )
+        else:
+            df = df.withColumn("_fn_is_complete", F.lit("true"))
     if "fn:type" in used:
         if kind_col is None:
             raise ValueError("type() used but no kind_col given")

@@ -430,8 +430,12 @@ def _fn_value(key: str, tags: dict, geom: dict | None, el: dict | None):
         closed = len(la) >= 3 and la[0] == la[-1] and lo[0] == lo[-1]
         return "true" if closed else "false"
     if key == "fn:is_complete":
-        # batch engine: every way is fully resolved
-        return "true"
+        # false when the resolver flagged lost node refs (bbox-clipped
+        # extract); inputs without the flag are complete by construction
+        comp = (geom or {}).get("complete")
+        if comp is None:
+            comp = (el or {}).get("complete")
+        return "false" if comp is False else "true"
     if key == "fn:type":
         return (el or {}).get("kind")
     if key == "fn:osmid":

@@ -294,14 +294,27 @@ def read_o5m(spark: SparkSession, path: str) -> DataFrame:
 def resolve_way_coords(elements: DataFrame) -> DataFrame:
     """way->node coordinate resolution (ElementSaver.java:95-106) as an
     order-preserving equi join: explode refs with position, join the
-    node table on id, re-assemble sorted by position."""
+    node table on id, re-assemble sorted by position.
+
+    Also derives the reference's extract-boundary bookkeeping
+    (OsmHandler.java:152-169): ``complete`` is false when any node ref
+    failed to resolve (the way was clipped by the input extract — the
+    inner join dropped those positions), and ``closed_in_osm`` records
+    whether first and last REF are equal, which is how the reference
+    decides closedness for incomplete ways (Way.isClosed:105-109).
+    Ways whose refs ALL fall outside the extract have no coordinates
+    at all and are dropped entirely."""
     from pyspark.sql import functions as F
 
     nodes = elements.filter(F.col("kind") == "node").select(
         F.col("id").alias("ref"), F.col("lat").alias("_ny"), F.col("lon").alias("_nx")
     )
     ways = elements.filter(F.col("kind") == "way").select(
-        "id", "tags", F.posexplode("refs").alias("pos", "ref")
+        "id",
+        "tags",
+        F.size("refs").alias("_n_refs"),
+        (F.expr("refs[0]") == F.expr("refs[size(refs) - 1]")).alias("_closed_osm"),
+        F.posexplode("refs").alias("pos", "ref"),
     )
     j = ways.join(nodes, "ref")
     return (
@@ -316,5 +329,7 @@ def resolve_way_coords(elements: DataFrame) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("pos", "_ny", "_nx"))),
                 lambda s: s.getField("_nx"),
             ).alias("lons"),
+            (F.count(F.lit(1)) == F.first("_n_refs")).alias("complete"),
+            F.first("_closed_osm").alias("closed_in_osm"),
         )
     )

@@ -90,3 +90,47 @@ def test_read_o5m_spark(spark, tmp_path):
     n = {r["id"]: (r["lat"], r["lon"]) for r in df.filter("kind = 'node'").collect()}
     assert w[101]["lats"] == [n[3][0], n[4][0], n[5][0]]
     assert w[101]["lons"] == [n[3][1], n[4][1], n[5][1]]
+
+
+def test_resolve_way_coords_clipped_extract(spark):
+    """Ways losing node refs at the extract boundary are flagged
+    incomplete (OsmHandler.java:152-169), and is_complete() compiles to
+    that flag instead of constant true."""
+    from mkgmap_spark.rules.compiler import compile_rules
+    from mkgmap_spark.rules.parser import parse_rules
+
+    els = spark.createDataFrame(
+        [
+            (1, "node", {}, 100, 200, None),
+            (2, "node", {}, 110, 210, None),
+            (3, "node", {}, 120, 220, None),
+            # complete way
+            (10, "way", {"highway": "primary"}, None, None, [1, 2, 3]),
+            # clipped: ref 99 outside the extract
+            (11, "way", {"highway": "primary"}, None, None, [1, 2, 99]),
+            # closed-in-OSM but clipped: first==last ref, middle lost
+            (12, "way", {"highway": "primary"}, None, None, [1, 99, 2, 1]),
+            # fully outside: dropped
+            (13, "way", {"highway": "primary"}, None, None, [98, 99]),
+        ],
+        "id long, kind string, tags map<string,string>, lat int, lon int, refs array<long>",
+    )
+    ways = resolve_way_coords(els)
+    w = {r["id"]: r for r in ways.collect()}
+    assert set(w) == {10, 11, 12}
+    assert w[10]["complete"] is True
+    assert w[11]["complete"] is False
+    assert w[12]["complete"] is False
+    assert w[12]["closed_in_osm"] is True
+    assert w[11]["closed_in_osm"] is False
+    assert len(w[11]["lats"]) == 2  # lost position dropped, order kept
+
+    rules = parse_rules(
+        "highway=* & is_complete()=false { set mkgmap:clipped=yes } [0x01 resolution 24]\n"
+        "highway=* [0x02 resolution 24]\n"
+    )
+    out = compile_rules(rules, ways).collect()
+    got = {r["id"]: (r["tags_out"].get("mkgmap:clipped"), r["results"][0]["type_code"]) for r in out}
+    assert got[10] == (None, 0x02)
+    assert got[11] == ("yes", 0x01)
+    assert got[12] == ("yes", 0x01)
