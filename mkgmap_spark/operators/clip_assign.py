@@ -49,6 +49,7 @@ def assign_ways_with_split(
     shift: int,
     level: int = 0,
     split_kernel: str = "sh",
+    max_private_tiles: int = 100_000,
 ) -> tuple[list[Tile], DataFrame]:
     """ways: (id, kind_i in {1,2}, lats, lons).  Returns (tiles +
     appended private tiles, membership df (id, level, tile_id, part)).
@@ -141,14 +142,18 @@ def assign_ways_with_split(
 
     # private tiles: deterministic ids — rank by feature id, appended
     # after the shared tiles.  The id->tile mapping stays distributed
-    # (window rank + join); only the per-tile BOUNDS come to the driver
-    # to extend the tile list — the same bound the reference holds for
-    # its area list (MapArea.java) — never the feature rows themselves,
-    # and never a plan-literal map that grows with data.
-    from pyspark.sql import Window
+    # (range-partitioned rank + join); only the per-tile BOUNDS come to
+    # the driver to extend the tile list — the same bound the reference
+    # holds for its area list (MapArea.java) — never the feature rows
+    # themselves, and never a plan-literal map that grows with data.
+    # The driver surface is HARD-CAPPED: a pathological input where
+    # every shape is oversized would otherwise stream one bounds row
+    # per feature to the driver; beyond the cap, features share one
+    # union-bounds overflow tile and a warning names the overflow count.
+    from ..functions.rank import global_rank
 
     base_tid = len(tiles)
-    priv_assign = (
+    priv_assign = global_rank(
         raw.filter(F.col("_priv"))
         .join(ways.select("id", "lats", "lons"), "id")
         .select(
@@ -157,18 +162,51 @@ def assign_ways_with_split(
             F.array_min("lons").alias("x0"),
             (F.array_max("lats") + 1).alias("y1"),
             (F.array_max("lons") + 1).alias("x1"),
-        )
-        .withColumn(
-            "_ptid",
-            (F.row_number().over(Window.orderBy("id")) - 1 + base_tid).cast("long"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        ["id"],
+        out="_rk",
     )
+    overflow_tid = base_tid + max_private_tiles
+    priv_assign = priv_assign.withColumn(
+        "_ptid",
+        F.when(F.col("_rk") <= max_private_tiles, F.col("_rk") - 1 + base_tid)
+        .otherwise(F.lit(overflow_tid))
+        .cast("long"),
+    ).localCheckpoint(eager=True)
 
     tiles_out = list(tiles)
-    for r in priv_assign.select("_ptid", "y0", "x0", "y1", "x1").orderBy("_ptid").collect():
+    for r in (
+        priv_assign.filter(F.col("_rk") <= max_private_tiles)
+        .select("_ptid", "y0", "x0", "y1", "x1")
+        .orderBy("_ptid")
+        .collect()
+    ):
         tiles_out.append(
             Tile(r["_ptid"], level, r["y0"], r["x0"], r["y1"], r["x1"], 1, 0, 1, 0, 0, -1)
+        )
+    over = (
+        priv_assign.filter(F.col("_rk") > max_private_tiles)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("y0").alias("y0"), F.min("x0").alias("x0"),
+            F.max("y1").alias("y1"), F.max("x1").alias("x1"),
+        )
+        .collect()[0]
+    )
+    if over["n"] > 0:
+        import warnings
+
+        warnings.warn(
+            f"{over['n']} oversized features beyond the {max_private_tiles} "
+            "private-tile cap share one union-bounds overflow tile "
+            f"{overflow_tid}; raise max_private_tiles to split them out",
+            stacklevel=2,
+        )
+        tiles_out.append(
+            Tile(
+                overflow_tid, level, over["y0"], over["x0"], over["y1"], over["x1"],
+                1, 0, int(over["n"]), 0, 0, -1,
+            )
         )
 
     resolved = raw.join(priv_assign.select("id", "_ptid"), "id", "left").withColumn(

@@ -116,3 +116,45 @@ def test_pipeline_geometry_filters(spark, documents_df):
     # both levels produced way memberships
     lv = {r["level"] for r in m.filter(F.col("kind_i") != 0).select("level").distinct().collect()}
     assert lv == {0, 2}
+
+
+def test_private_tile_cap_bounds_driver_surface(spark, documents_df):
+    """A pathological input where EVERY line is oversized must not
+    stream one driver row per feature: beyond max_private_tiles the
+    rest share a single union-bounds overflow tile."""
+    import warnings
+
+    from mkgmap_spark.operators import tiling
+
+    prepared, _ = _inputs(spark, documents_df)
+    provider = tiling.SparkHistogramProvider(prepared)
+    res = tiling.split_level(provider, 0)
+    # giant diagonal lines spanning the whole domain -> all private
+    n = 500
+    big = spark.range(1, n + 1).select(
+        (F.col("id") + 10_000_000).alias("id"),
+        F.lit(1).alias("kind_i"),
+        F.array(F.lit(-2_000_000) + F.col("id").cast("int"), F.lit(2_000_000)).alias("lats"),
+        F.array(F.lit(-4_000_000), F.lit(4_000_000) - F.col("id").cast("int")).alias("lons"),
+    )
+    cap = 50
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        tiles2, members = assign_ways_with_split(
+            spark, big, res.index, res.tiles, 0, max_private_tiles=cap
+        )
+        assert any("private-tile cap" in str(w.message) for w in caught)
+    n_base = len(res.tiles)
+    # cap private tiles + exactly one overflow tile
+    assert len(tiles2) == n_base + cap + 1
+    overflow = tiles2[-1]
+    assert overflow.n_lines == n - cap
+    rows = members.collect()
+    assert len(rows) == n  # every feature still assigned
+    per_tile = {}
+    for r in rows:
+        per_tile[r["tile_id"]] = per_tile.get(r["tile_id"], 0) + 1
+    assert per_tile[overflow.tile_id] == n - cap
+    # union bounds cover all overflow features
+    assert overflow.min_lat <= -2_000_000 + cap + 1
+    assert overflow.max_lat >= 2_000_001
