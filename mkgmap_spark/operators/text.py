@@ -16,6 +16,7 @@ suffix handling (PrefixSuffixFilter.java) is rule-engine territory.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -263,3 +264,34 @@ def prefix_suffix_filter(
             ).otherwise(F.col(tags_col)),
         )
     return df.drop("_psf_country", "_psf_label")
+
+
+def transliterate_labels(
+    df: DataFrame, cols: list[str], charset: str = "ascii"
+) -> DataFrame:
+    """Full-table label transliteration (TableTransliterator semantics
+    including the CJK pinyin rows) as one Arrow-batched pass.
+
+    The style filter's inline SQL form (functions/translit.py) trades
+    CJK fidelity for plan size; this operator is the label/MDR-path
+    complement with complete parity — the table ships to executors in
+    the UDF closure once (~1 MB), never per row."""
+    from ..functions.translit import merged_table
+
+    table = merged_table(charset)
+    limit = 0xFF if charset == "latin1" else 0x7F
+
+    def _tx(s):
+        if s is None:
+            return None
+        return "".join(
+            ch if ord(ch) <= limit else table.get(ord(ch), "?") for ch in s
+        )
+
+    @F.pandas_udf("string")
+    def kernel(s: pd.Series) -> pd.Series:
+        return s.map(_tx, na_action="ignore")
+
+    for c in cols:
+        df = df.withColumn(c, kernel(F.col(c)))
+    return df

@@ -221,7 +221,12 @@ def _compile_filter(cmd: str, arg: str, v: str, lt: str) -> str:
             )
         return f"if({v} is null or {n} < {abs(pn)}, cast(null as string), {picked})"
     if cmd in ("ascii", "latin1"):
-        return f"translate({v}, {q(I.TRANSLIT_FROM)}, {q(I.TRANSLIT_TO)})"
+        # full reference tables below U+3000 (TableTransliterator rows
+        # data, constant-folded str_to_map); CJK+ compiles to '?' —
+        # divergence documented in functions/translit.py
+        from ..functions.translit import sql_translit_expr
+
+        return sql_translit_expr(v, cmd)
     if cmd == "country-ISO":
         key = f"upper({_trim(v)})"
         entries = ", ".join(f"{q(k)}, {q(val)}" for k, val in I.COUNTRY_ISO.items())

@@ -146,22 +146,8 @@ COUNTRY_ISO = {
     "BRAZIL": "BRA", "MEXICO": "MEX",
 }
 
-# best-effort latin transliteration table (TransliterateFilter's ascii/
-# latin1 tables are large; this covers the common Latin-1/2 accents and
-# passes anything else through — documented divergence)
-_TRANSLIT_PAIRS = [
-    ("àáâãäåāăą", "a"), ("èéêëēĕėęě", "e"), ("ìíîïĩīĭįı", "i"),
-    ("òóôõöøōŏő", "o"), ("ùúûüũūŭůűų", "u"), ("çćĉċč", "c"),
-    ("ñńņň", "n"), ("ýÿ", "y"), ("žźż", "z"), ("šśŝş", "s"),
-    ("đð", "d"), ("łŀ", "l"), ("ğĝ", "g"), ("ţť", "t"), ("ŕřŗ", "r"),
-    ("ÀÁÂÃÄÅĀĂĄ", "A"), ("ÈÉÊËĒĔĖĘĚ", "E"), ("ÌÍÎÏĨĪĬĮ", "I"),
-    ("ÒÓÔÕÖØŌŎŐ", "O"), ("ÙÚÛÜŨŪŬŮŰŲ", "U"), ("ÇĆĈĊČ", "C"),
-    ("ÑŃŅŇ", "N"), ("ÝŸ", "Y"), ("ŽŹŻ", "Z"), ("ŠŚŜŞ", "S"),
-    ("Đ", "D"), ("ŁĿ", "L"), ("ĞĜ", "G"), ("ŢŤ", "T"), ("ŔŘŖ", "R"),
-]
-TRANSLIT_FROM = "".join(src for src, _ in _TRANSLIT_PAIRS)
-TRANSLIT_TO = "".join(dst * len(src) for src, dst in _TRANSLIT_PAIRS)
-_TRANSLIT = str.maketrans(TRANSLIT_FROM, TRANSLIT_TO)
+# transliteration now lives in functions/translit.py (complete
+# reference tables generated from the TableTransliterator rows data)
 
 
 def _conv_value(value: str, arg: str) -> str:
@@ -290,7 +276,11 @@ def apply_filter(cmd: str, arg: str, value: str | None, local_tags: dict) -> str
                 out.append(pieces[i] + sep)
         return "".join(out)
     if cmd in ("ascii", "latin1"):
-        return None if value is None else value.translate(_TRANSLIT)
+        # matches the compiler's inline SQL form exactly (full tables
+        # below U+3000, '?' above — functions/translit.py)
+        from ..functions.translit import transliterate_inline
+
+        return transliterate_inline(value, cmd)
     if cmd == "country-ISO":
         if value is None:
             return None
