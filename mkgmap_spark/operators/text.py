@@ -66,6 +66,9 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
     n_punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
     n_distinct = F.size(F.array_distinct(toks))
+    # ratios stay unrounded: both operands are exact integers, so the
+    # IEEE quotient is bit-identical across engines (a round() here
+    # would re-introduce HALF_UP-vs-HALF_EVEN oracle skew)
     mean_word_len = F.when(n_tokens > 0, (F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens)).otherwise(
         F.lit(0.0)
     )
@@ -77,8 +80,8 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         n_digit.cast("long").alias("n_digit"),
         n_punct.cast("long").alias("n_punct"),
         n_distinct.cast("long").alias("n_distinct_tokens"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.when(n_tokens > 0, F.round(n_distinct / n_tokens, 4)).otherwise(F.lit(0.0)).alias(
+        mean_word_len.alias("mean_word_len"),
+        F.when(n_tokens > 0, n_distinct / n_tokens).otherwise(F.lit(0.0)).alias(
             "distinct_ratio"
         ),
     )
@@ -99,13 +102,28 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def document_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def document_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "xxhash64",
+) -> DataFrame:
     """Normalized 64-bit fingerprint + squashed-space normal form
-    (Label.squashSpaces semantics: collapse runs of whitespace)."""
+    (Label.squashSpaces semantics: collapse runs of whitespace).
+
+    ``hash='md5'`` switches to the deterministic 60-bit md5-prefix hash
+    (same family the minhash/simhash oracles use) so plain SQL engines
+    reproduce the fingerprint bit-for-bit; xxhash64 is the fast
+    JVM-side default."""
     squashed = F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")
+    if hash == "md5":
+        # 60-bit md5 prefix (dedup.MD5_PREFIX_SQL_* family)
+        fp = F.conv(F.substring(F.md5(F.lower(squashed)), 1, 15), 16, 10).cast("long")
+    else:
+        fp = F.xxhash64(F.lower(squashed))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.xxhash64(F.lower(squashed)).alias("fingerprint"),
+        fp.alias("fingerprint"),
         F.length(squashed).cast("long").alias("norm_len"),
     )
 

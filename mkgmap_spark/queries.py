@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -802,6 +803,139 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# q: quality scoring (pre-training heuristics — length/char-class/
+#    distinct-token ratios, all exact integer arithmetic + IEEE ratios)
+# --------------------------------------------------------------------------
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_scores
+
+    return quality_scores(_read(spark, sf_dir, "documents"))
+
+
+Q_QUALITY_SCORES_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         COALESCE(text, '') AS t,
+         string_split_regex(lower(trim(COALESCE(text, ''))), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, t, toks,
+         CASE WHEN length(trim(t)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct
+  FROM base
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+       CAST(length(regexp_replace(t, '[^!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(n_distinct AS BIGINT) AS n_distinct_tokens,
+       CASE WHEN n_tokens > 0
+            THEN length(regexp_replace(t, '\s+', '', 'g')) / n_tokens
+            ELSE 0.0 END AS mean_word_len,
+       CASE WHEN n_tokens > 0 THEN n_distinct / n_tokens ELSE 0.0 END AS distinct_ratio
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# q: document fingerprinting (squash-space normal form + 64-bit hash;
+#    md5-prefix variant so the oracle reproduces the bits — the
+#    xxhash64 fast path shares the plan shape, covered by pytest)
+# --------------------------------------------------------------------------
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import document_fingerprints
+
+    return document_fingerprints(_read(spark, sf_dir, "documents"), hash="md5")
+
+
+Q_DOC_FINGERPRINTS_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(trim(COALESCE(text, '')), '\s+', ' ', 'g') AS sq
+  FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(lower(sq)), 1, 15)) AS BIGINT) AS fingerprint,
+       CAST(length(sq) AS BIGINT) AS norm_len
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# q: multimodal decode stats — REAL PNG encode + decode round-trip
+#    (functions/png.py: zlib deflate/inflate, filter reconstruction)
+#    over deterministic gradient images, so channel means and dims have
+#    a closed-form SQL oracle.
+# --------------------------------------------------------------------------
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .functions.png import encode_png
+    from .operators.multimodal import decode_media_features
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("n"),
+        (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(13))).cast("int").alias("w"),
+        (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(11))).cast("int").alias("h"),
+        F.pmod(F.col("doc_id") * 7, F.lit(256)).cast("int").alias("b"),
+    )
+
+    @F.pandas_udf("binary")
+    def make_png(w: pd.Series, h: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for wi, hi, bi in zip(w.tolist(), h.tolist(), b.tolist()):
+            yy, xx = np.mgrid[0:hi, 0:wi]
+            img = np.stack(
+                [
+                    (yy * 255 // (hi - 1)).astype(np.uint8),
+                    (xx * 255 // (wi - 1)).astype(np.uint8),
+                    np.full((hi, wi), bi, dtype=np.uint8),
+                ],
+                axis=2,
+            )
+            out.append(encode_png(img))
+        return pd.Series(out)
+
+    media = base.select(
+        F.col("n").cast("string").alias("doc_id"),
+        F.concat(F.lit("m"), F.col("n").cast("string")).alias("media_ref"),
+        F.lit("image").alias("kind"),
+        make_png(F.col("w"), F.col("h"), F.col("b")).alias("payload"),
+        F.col("w").alias("width"),
+        F.col("h").alias("height"),
+    )
+    out = decode_media_features(media)
+    return out.select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
+
+
+Q_MEDIA_DECODE_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS n,
+         4 + (doc_id % 13) AS w,
+         4 + (doc_id % 11) AS h,
+         (doc_id * 7) % 256 AS b
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT CAST(n AS VARCHAR) AS doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       list_sum(list_transform(range(0, h), y -> (y * 255) // (h - 1))) / h AS mean_r,
+       list_sum(list_transform(range(0, w), x -> (x * 255) // (w - 1))) / w AS mean_g,
+       CAST(b AS DOUBLE) AS mean_b
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
 # q: rows-only entries (no SQL equivalent; pytest covers correctness)
 # --------------------------------------------------------------------------
 
@@ -1566,6 +1700,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "tile_assign": q_tile_assign,
     "tile_assign_fixed": q_tile_assign_fixed,
+    "quality_scores": q_quality_scores,
+    "doc_fingerprints": q_doc_fingerprints,
+    "media_decode": q_media_decode,
 }
 
 ORACLES: dict[str, str] = {
@@ -1604,4 +1741,7 @@ ORACLES: dict[str, str] = {
     # tile_assign_fixed below drives the same assignment + spill
     # kernels against a fixed tree WITH a full SQL oracle
     "tile_assign_fixed": _tile_assign_fixed_sql(),
+    "quality_scores": Q_QUALITY_SCORES_SQL,
+    "doc_fingerprints": Q_DOC_FINGERPRINTS_SQL,
+    "media_decode": Q_MEDIA_DECODE_SQL,
 }
