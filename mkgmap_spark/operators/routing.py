@@ -146,24 +146,35 @@ def turn_restrictions(
         m("via", "node").alias("_via"),
         m("via", "way").alias("_viaw"),
     )
-    # exactly one from and to; via is one NODE or an ordered CHAIN of
-    # one or more via ways (RestrictionRelation.java:235-248 appends
+    # membership rules (RestrictionRelation.java:250-265, 321-325):
+    # multiple 'from' ways only for no_entry, multiple 'to' ways only
+    # for no_exit, and never together with via WAYS; via is one NODE
+    # or an ordered CHAIN of one or more via ways (:235-248 appends
     # every via-way member; a via way AFTER a via node invalidates)
+    single_ft = (F.size("_from") == 1) & (F.size("_to") == 1)
+    multi_from = (
+        (F.col("restriction") == "no_entry")
+        & (F.size("_from") >= 1) & (F.size("_to") == 1)
+    )
+    multi_to = (
+        (F.col("restriction") == "no_exit")
+        & (F.size("_from") == 1) & (F.size("_to") >= 1)
+    )
+    via_node_form = (F.size("_via") == 1) & (F.size("_viaw") == 0)
+    via_way_form = (F.size("_via") == 0) & (F.size("_viaw") >= 1)
     r = r.filter(
         F.col("restriction").isin(*SUPPORTED_RESTRICTIONS)
-        & (F.size("_from") == 1)
-        & (F.size("_to") == 1)
         & (
-            ((F.size("_via") == 1) & (F.size("_viaw") == 0))
-            | ((F.size("_via") == 0) & (F.size("_viaw") >= 1))
+            (single_ft & (via_node_form | via_way_form))
+            | ((multi_from | multi_to) & via_node_form)
         )
     ).select(
         "rel_id",
         "restriction",
         "except_mask",
+        F.expr("transform(_from, m -> m.ref)").alias("from_ways"),
+        F.expr("transform(_to, m -> m.ref)").alias("to_ways"),
         # get() tolerates the empty array (ANSI [i] throws)
-        F.expr("get(_from, 0).ref").alias("from_way"),
-        F.expr("get(_to, 0).ref").alias("to_way"),
         F.expr("get(_via, 0).ref").alias("via_node"),
         F.expr("get(_viaw, 0).ref").alias("via_way"),
         F.expr("transform(_viaw, m -> m.ref)").alias("via_ways"),
@@ -175,7 +186,12 @@ def turn_restrictions(
         F.expr("lats[size(lats) - 1]").alias("_ey"), F.expr("lons[size(lons) - 1]").alias("_ex"),
     )
 
-    # --- via-NODE form: the via node must be an END point of both ways
+    # --- via-NODE form: the via node must be an END point of every
+    # from way and every to way, and validation is all-or-nothing per
+    # relation (the reference's eval loop flips `valid` for the WHOLE
+    # relation when any member fails, :367-374/:405-413); valid
+    # relations then emit one restriction row per from x to pair (how
+    # RoadNetwork.addRestriction expands the lists)
     via = nodes.select(
         F.col("id").alias("via_node"), F.col("lat").alias("via_lat"), F.col("lon").alias("via_lon")
     )
@@ -183,15 +199,36 @@ def turn_restrictions(
         ((F.col("_sy") == F.col("via_lat")) & (F.col("_sx") == F.col("via_lon")))
         | ((F.col("_ey") == F.col("via_lat")) & (F.col("_ex") == F.col("via_lon")))
     )
+    rn_b = r.filter(F.col("via_node").isNotNull()).join(via, "via_node")
+    chk = (
+        rn_b.select(
+            "rel_id", "via_lat", "via_lon",
+            F.explode(F.concat("from_ways", "to_ways")).alias("_wid"),
+        )
+        .join(wends, "_wid")
+        .groupBy("rel_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_resolved"),
+            F.sum(F.when(touches, 1).otherwise(0)).alias("_n_touching"),
+        )
+    )
     rn = (
-        r.filter(F.col("via_node").isNotNull())
-        .join(via, "via_node")
-        .join(wends.withColumnRenamed("_wid", "from_way"), "from_way")
-        .filter(touches)
-        .drop("_sy", "_sx", "_ey", "_ex")
-        .join(wends.withColumnRenamed("_wid", "to_way"), "to_way")
-        .filter(touches)
-        .drop("_sy", "_sx", "_ey", "_ex")
+        rn_b.join(chk, "rel_id")
+        .filter(
+            (F.col("_n_resolved") == F.size("from_ways") + F.size("to_ways"))
+            & (F.col("_n_touching") == F.col("_n_resolved"))
+        )
+        .select(
+            "rel_id", "restriction", "except_mask", "via_node", "via_way",
+            "via_ways", "via_lat", "via_lon",
+            F.explode("from_ways").alias("from_way"),
+            "to_ways",
+        )
+        .select(
+            "rel_id", "restriction", "except_mask", "via_node", "via_way",
+            "via_ways", "via_lat", "via_lon", "from_way",
+            F.explode("to_ways").alias("to_way"),
+        )
     )
 
     # --- via-WAY chain form (RestrictionRelation.java:352-413): the
@@ -203,7 +240,12 @@ def turn_restrictions(
     # regroup into an ordered chain array -> one JVM aggregate() fold
     # per relation walks the chain (chains are short — real OSM data
     # has 1-3 via ways — so the per-row array is bounded).
-    rwb = r.filter(F.size("via_ways") >= 1)
+    # via-way form is single-from/single-to by the membership filter
+    rwb = (
+        r.filter(F.size("via_ways") >= 1)
+        .withColumn("from_way", F.expr("get(from_ways, 0)"))
+        .withColumn("to_way", F.expr("get(to_ways, 0)"))
+    )
     ve = rwb.select("rel_id", F.posexplode("via_ways").alias("_pos", "_wid"))
     vchain = (
         ve.join(wends, "_wid")

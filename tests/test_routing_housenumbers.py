@@ -205,3 +205,51 @@ def test_turn_restriction_via_way_chain(spark):
     assert r["via_way"] == 20
     # junction where the restriction starts: from x first via way
     assert (r["via_lat"], r["via_lon"]) == (0, 1000)
+
+
+def test_turn_restriction_multi_from_to(spark):
+    """no_entry accepts multiple 'from' ways, no_exit multiple 'to'
+    ways (RestrictionRelation.java:250-265) — one restriction row per
+    from x to pair, all-or-nothing per relation when a member fails to
+    touch the via node."""
+    nodes = spark.createDataFrame(
+        [(1, 0, 1000), (9, 500, 500)], "id long, lat int, lon int"
+    )
+    ways = spark.createDataFrame(
+        [
+            (10, [0, 0], [0, 1000]),      # ends at via (0,1000)
+            (11, [0, 0], [1000, 2000]),   # starts at via
+            (12, [0, 7], [1000, 3000]),   # starts at via
+            (13, [500, 600], [0, 500]),   # NOT at via
+        ],
+        "id long, lats array<int>, lons array<int>",
+    )
+    rels = spark.createDataFrame(
+        [
+            # two from ways into one to way: no_entry -> 2 rows
+            (500, {"type": "restriction", "restriction": "no_entry"},
+             _members(("from", "way", 11), ("from", "way", 12),
+                      ("via", "node", 1), ("to", "way", 10))),
+            # one from, two to: no_exit -> 2 rows
+            (501, {"type": "restriction", "restriction": "no_exit"},
+             _members(("from", "way", 10), ("via", "node", 1),
+                      ("to", "way", 11), ("to", "way", 12))),
+            # multi-from NOT allowed for other kinds
+            (502, {"type": "restriction", "restriction": "no_left_turn"},
+             _members(("from", "way", 11), ("from", "way", 12),
+                      ("via", "node", 1), ("to", "way", 10))),
+            # one of the from ways misses the via node -> whole relation drops
+            (503, {"type": "restriction", "restriction": "no_entry"},
+             _members(("from", "way", 11), ("from", "way", 13),
+                      ("via", "node", 1), ("to", "way", 10))),
+        ],
+        "id long, tags map<string,string>, "
+        "members array<struct<role: string, mtype: string, ref: long>>",
+    )
+    out = turn_restrictions(rels, ways, nodes).collect()
+    by_rel = {}
+    for row in out:
+        by_rel.setdefault(row["rel_id"], []).append((row["from_way"], row["to_way"]))
+    assert set(by_rel) == {500, 501}
+    assert sorted(by_rel[500]) == [(11, 10), (12, 10)]
+    assert sorted(by_rel[501]) == [(10, 11), (10, 12)]
