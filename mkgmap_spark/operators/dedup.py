@@ -16,6 +16,8 @@ All operators take documents(doc_id, text) and are deterministic.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -104,6 +106,8 @@ def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
     """Band-bucket join -> distinct candidate pairs (doc_a < doc_b)."""
+    # self-join below: materialize so the signature pipeline runs once
+    signatures = signatures.localCheckpoint(eager=True)
     banded = signatures.select(
         "doc_id",
         F.posexplode(
@@ -137,6 +141,8 @@ def jaccard_verify(
     ).select(
         "doc_id", F.array_distinct(_shingles_from_tokens("_toks", shingle_k)).alias("sh")
     )
+    # joined twice (a and b side) — compute the shingle sets once
+    sh = sh.localCheckpoint(eager=True)
     j = (
         candidates.join(sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
@@ -223,6 +229,9 @@ def minhash_pairs_md5(
         ]
     )
     sigs = d.select("doc_id", F.array_distinct("_sh").alias("_shd"), sig.alias("signature"))
+    # banded self-joins below: materialize once or the shingle+md5+
+    # signature pipeline (the expensive part) runs for BOTH join sides
+    sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id",
         "_shd",
@@ -300,6 +309,38 @@ SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {threshold}
 """
 
 
+def _bitvote_udf(n_bits: int):
+    """Vectorized SimHash bit-vote kernel over JVM-prehashed token
+    arrays.  The pure-SQL form folds the token array once PER BIT
+    (n_bits interpreted lambda walks per doc — measured ~60x the
+    hashing cost); here one Arrow crossing ships the int64 hashes and
+    numpy does per-bit segment sums (np.add.reduceat over the
+    flattened batch), integer-exact so the SQL oracles still match."""
+
+    @F.pandas_udf("long")
+    def kernel(h: pd.Series) -> pd.Series:
+        n = len(h)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        arrs = [np.asarray(x, dtype=np.int64) for x in h]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        out = np.zeros(n, dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate([a for a in arrs if len(a)]).view(np.uint64)
+            starts = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            fps = np.zeros(int(nz.sum()), dtype=np.uint64)
+            for j in range(n_bits):
+                bit = ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int32)
+                votes = np.add.reduceat(2 * bit - 1, starts)
+                fps |= (votes > 0).astype(np.uint64) << np.uint64(j)
+            out[nz] = fps
+        return pd.Series(out.view(np.int64))
+
+    return kernel
+
+
 def simhash_md5(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 60
 ) -> DataFrame:
@@ -310,12 +351,7 @@ def simhash_md5(
         F.col(id_col).alias("doc_id"),
         F.expr(f"transform(split(trim(coalesce({text_col}, '')), '\\\\s+'), t -> {base})").alias("_h"),
     )
-    fp = " + ".join(
-        f"if(aggregate(_h, 0, (acc, v) -> acc + cast((v >> {j}) & 1 as int) * 2 - 1) > 0, "
-        f"cast({1 << j} as bigint), 0L)"
-        for j in range(n_bits)
-    )
-    return d.select("doc_id", F.expr(f"({fp})").alias("simhash"))
+    return d.select("doc_id", _bitvote_udf(n_bits)(F.col("_h")).alias("simhash"))
 
 
 def simhash_md5_oracle_sql(max_hamming: int = 3, n_bits: int = 60) -> str:
@@ -352,25 +388,16 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Token hash bit-votes: bit j of the fingerprint is 1 iff more token
     hashes have bit j set than not.
     """
-    # hash each token ONCE, then 64 cheap bit-vote folds over the
-    # prehashed array (rehashing per bit was 64x the hashing work)
+    # hash each token ONCE (JVM xxhash64), then one Arrow pass does
+    # all 64 bit votes vectorized (the per-bit aggregate() fold walked
+    # the array 64 times in interpreted lambdas)
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.expr(
             f"transform(split(trim(coalesce({text_col}, '')), '\\\\s+'), t -> xxhash64(t))"
         ).alias("_h"),
     )
-    votes = [
-        F.expr(
-            f"aggregate(_h, 0, (acc, v) -> acc + cast(shiftright(v, {j}) & 1 as int) * 2 - 1)"
-        )
-        for j in range(64)
-    ]
-    fp = F.lit(0).cast("long")
-    for j in range(64):
-        bit = -(1 << 63) if j == 63 else (1 << j)
-        fp = fp + F.when(votes[j] > 0, F.lit(bit).cast("long")).otherwise(F.lit(0).cast("long"))
-    return d.select("doc_id", fp.alias("simhash"))
+    return d.select("doc_id", _bitvote_udf(64)(F.col("_h")).alias("simhash"))
 
 
 def simhash_near_dups(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -386,6 +413,11 @@ def simhash_near_dups(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     width = 64 // bands
     cuts = [b * width for b in range(bands)]
     widths = [width] * (bands - 1) + [64 - cuts[-1]]  # last band takes the remainder
+    # the band join is a SELF-join: without materializing, both sides
+    # re-run the upstream fingerprint computation (token hashing is
+    # the expensive part).  The fingerprint table is 2 narrow columns
+    # per doc — tiny next to the corpus it came from.
+    fps = fps.localCheckpoint(eager=True)
     banded = fps.select(
         "doc_id",
         "simhash",

@@ -1379,8 +1379,11 @@ def q_turn_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dense surrogate 1..N without a single-partition global window:
     # range-partitioned exclusive scan (the count job inside
     # global_rank also gives us N — no extra action on the big table)
-    ranked = global_rank(o.select("o_orderkey"), ["o_orderkey"], out="n")
-    n = ranked.select("n")
+    # checkpoint the dense ids once: nodes/ways/rels all derive from n,
+    # and without it each branch re-runs the rank window
+    n = global_rank(o.select("o_orderkey"), ["o_orderkey"], out="n").select(
+        "n"
+    ).localCheckpoint(eager=True)
     nodes = n.select(
         F.col("n").alias("id"), lat_col("n").cast("int").alias("lat"), lon_col("n").cast("int").alias("lon")
     )
