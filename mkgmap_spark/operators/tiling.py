@@ -58,6 +58,7 @@ same rules element-at-a-time):
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
 import numpy as np
@@ -402,18 +403,32 @@ class TileIndex:
 
 @dataclass
 class SplitResult:
-    tiles: list[Tile]
+    """``tiles`` may be passed as a zero-arg factory: building 300k+
+    Tile objects costs ~1s of driver time, and the assignment-only
+    path (flagship query) never touches them — the list materializes
+    lazily on first access and is cached."""
+
+    tiles: list[Tile] | Callable[[], list[Tile]]
     index: TileIndex
     refine_rounds: int
     cells_fetched: int
 
+    def __getattribute__(self, name):
+        v = object.__getattribute__(self, name)
+        if name == "tiles" and callable(v):
+            v = v()
+            object.__setattr__(self, "tiles", v)
+        return v
+
 
 def _dedupe_sum(keys: np.ndarray, aggs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    uk, inv = np.unique(keys, return_inverse=True)
-    out = np.empty((len(uk), aggs.shape[1]), dtype=np.int64)
-    for c in range(aggs.shape[1]):
-        out[:, c] = np.bincount(inv, weights=aggs[:, c], minlength=len(uk)).astype(np.int64)
-    return uk, out
+    # one sort + segmented sum (reduceat) — np.unique + per-column
+    # float bincounts cost ~2x on the 400k+-cell rounds
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    sa = aggs[order]
+    starts = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
+    return sk[starts], np.add.reduceat(sa, starts, axis=0)
 
 
 def split_level(provider, shift: int, level: int = 0) -> SplitResult:
@@ -560,38 +575,50 @@ def split_level(provider, shift: int, level: int = 0) -> SplitResult:
 
         pending = next_pending
 
-    # deterministic numbering: (min_lat, min_lon); overflow slots consecutive
-    def tile_bounds(s, k):
-        a, b = _shape(s)
-        by, bx = k >> 32, k & 0xFFFFFFFF
-        return (mn_y + (by << a), mn_x + (bx << b), mn_y + ((by + 1) << a), mn_x + ((bx + 1) << b))
+    # deterministic numbering: (min_lat, min_lon); overflow slots
+    # consecutive.  Everything below is vectorized — a Python sort key
+    # over 300k+ tiles used to dominate the warm driver loop.
+    if not raw_tiles:
+        return SplitResult([], TileIndex(mn_y, mn_x, {}), max(refine_rounds, 0), cells_fetched)
+    rt = np.asarray(raw_tiles, dtype=np.int64)
+    s_a, k_a, ns_a = rt[:, 0], rt[:, 1], rt[:, 2]
+    a_a = s_a // 2
+    b_a = s_a - a_a
+    by_a = k_a >> 32
+    bx_a = k_a & 0xFFFFFFFF
+    y0 = mn_y + (by_a << a_a)
+    x0 = mn_x + (bx_a << b_a)
+    y1 = mn_y + ((by_a + 1) << a_a)
+    x1 = mn_x + ((bx_a + 1) << b_a)
+    order = np.lexsort((x0, y0))
+    rt = rt[order]
+    y0, x0, y1, x1 = y0[order], x0[order], y1[order], x1[order]
+    ns_a = ns_a[order]
+    s_a, k_a = s_a[order], k_a[order]
+    base_a = np.zeros(len(rt), dtype=np.int64)
+    np.cumsum(ns_a[:-1], out=base_a[1:])
 
-    raw_tiles.sort(key=lambda t: tile_bounds(t[0], t[1])[:2])
-    tiles: list[Tile] = []
-    levels: dict[int, tuple[list, list, list]] = {}
-    for s, k, ns, p_, l_, sh_, st_ in raw_tiles:
-        y0, x0, y1, x1 = tile_bounds(s, k)
-        base = len(tiles)
-        for j in range(ns):
-            tiles.append(
-                Tile(base + j, level, y0, x0, y1, x1, int(ns), int(p_), int(l_), int(sh_), int(st_), -1)
+    def make_tiles() -> list[Tile]:
+        tiles: list[Tile] = []
+        bases = base_a.tolist()
+        ys0, xs0, ys1, xs1 = y0.tolist(), x0.tolist(), y1.tolist(), x1.tolist()
+        for i, (s, k, ns, p_, l_, sh_, st_) in enumerate(rt.tolist()):
+            base = bases[i]
+            tiles.extend(
+                Tile(base + j, level, ys0[i], xs0[i], ys1[i], xs1[i],
+                     ns, p_, l_, sh_, st_, -1)
+                for j in range(ns)
             )
-        lv = levels.setdefault(s, ([], [], []))
-        lv[0].append(k)
-        lv[1].append(base)
-        lv[2].append(ns)
+        return tiles
 
     idx_levels = {}
-    for s, (ks, tids, slots) in levels.items():
-        ks = np.asarray(ks, dtype=np.int64)
-        order = np.argsort(ks)
-        idx_levels[s] = (
-            ks[order],
-            np.asarray(tids, dtype=np.int64)[order],
-            np.asarray(slots, dtype=np.int64)[order],
-        )
+    for s in np.unique(s_a).tolist():
+        sel = s_a == s
+        ks = k_a[sel]
+        o2 = np.argsort(ks)
+        idx_levels[int(s)] = (ks[o2], base_a[sel][o2], ns_a[sel][o2])
     index = TileIndex(mn_y, mn_x, idx_levels)
-    return SplitResult(tiles, index, max(refine_rounds, 0), cells_fetched)
+    return SplitResult(make_tiles, index, max(refine_rounds, 0), cells_fetched)
 
 
 # --------------------------------------------------------------------------
