@@ -73,3 +73,50 @@ def global_rank(
         d.withColumn(out, (F.row_number().over(w) + off).cast("long"))
         .drop(_PID)
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in ``order_cols`` order —
+    the running-offset pattern (gmapsupp byte layout) without an
+    unpartitioned window.  Same exclusive-scan shape as global_rank:
+    range partition, per-partition running sum, broadcast partition
+    totals as offsets."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    d = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r[_PID]: r["s"]
+        for r in d.groupBy(_PID).agg(F.sum(value_col).alias("s")).collect()
+    }
+    if not totals:
+        return df.withColumn(out, F.lit(None).cast("long"))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += int(totals[pid] or 0)
+    off = F.element_at(
+        F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
+        F.col(_PID),
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn(out, (F.coalesce(F.sum(value_col).over(w), F.lit(0)) + off).cast("long"))
+        .drop(_PID)
+    )

@@ -76,11 +76,19 @@ def tdb_manifest(
         & ((F.col("min_lon") + F.col("max_lon")) / 2 < F.col("p_x1")),
         "left",
     )
-    w = Window.orderBy("tile_id")
+    from ..functions.rank import global_rank
+
+    # range-partitioned rank: at planet scale the tile directory can
+    # reach millions of rows — never a single-partition window
+    ranked = global_rank(
+        j.join(counts, "tile_id", "left").na.fill(
+            0, ["n_elements", "c_points", "c_lines", "c_shapes"]
+        ),
+        ["tile_id"],
+        out="_rk",
+    )
     return (
-        j.join(counts, "tile_id", "left")
-        .na.fill(0, ["n_elements", "c_points", "c_lines", "c_shapes"])
-        .withColumn("mapname", (F.lit(mapname_base) + F.row_number().over(w) - 1).cast("long"))
+        ranked.withColumn("mapname", (F.lit(mapname_base) + F.col("_rk") - 1).cast("long"))
         .select(
             "mapname",
             "tile_id",
@@ -104,14 +112,17 @@ def gmapsupp_layout(manifest: DataFrame, block_size: int = 512) -> DataFrame:
     """Single-file packing order: tiles sorted by mapname, each rounded
     up to whole filesystem blocks, with the running byte offset
     (GmapsuppBuilder's FileSystem layout as an exclusive-scan window)."""
+    from ..functions.rank import global_cumsum
+
     blocks = F.ceil(F.col("size_bytes") / block_size).cast("long")
-    w = Window.orderBy("mapname").rowsBetween(Window.unboundedPreceding, -1)
-    d = manifest.withColumn("n_blocks", blocks)
+    d = global_cumsum(
+        manifest.withColumn("n_blocks", blocks), ["mapname"], "n_blocks", out="_off"
+    )
     return d.select(
         "mapname",
         "tile_id",
         "n_blocks",
-        (F.coalesce(F.sum("n_blocks").over(w), F.lit(0)) * block_size).alias("byte_offset"),
+        (F.col("_off") * block_size).alias("byte_offset"),
         (F.col("n_blocks") * block_size).alias("byte_len"),
     )
 
