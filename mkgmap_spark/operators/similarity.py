@@ -245,3 +245,85 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "score")
     )
+
+
+def ivf_topk_int(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "qv",
+) -> DataFrame:
+    """IVF (inverted-file) ANN over quantized-int vectors.
+
+    The coarse quantizer is the first ``n_centroids`` data vectors (a
+    deterministic sampling init — k-means++ without refinement keeps
+    every step exact-int and SQL-reproducible).  Every vector lands in
+    the bucket of its nearest centroid by integer dot product; queries
+    probe their ``nprobe`` nearest buckets and re-rank candidates
+    exactly.
+
+    100-TB shape: the centroid table is tiny and broadcast; bucket
+    assignment is a per-row argmax over a literal centroid array (no
+    shuffle), the candidate join is a plain equi join on bucket id,
+    and the only window partitions by query id.  Inputs must carry
+    int64 vectors (``qv``); queries: (qid, qv).
+    Output: (qid, neighbor_id, rank, dot)."""
+    cent = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    if not cent:
+        raise ValueError("no centroid rows (need vec ids < n_centroids)")
+    # literal array<struct<cid, cv>> — ships in the plan once
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"])).alias("cid"),
+                F.array(*[F.lit(int(x)) for x in r["cv"]]).alias("cv"),
+            )
+            for r in cent
+        ]
+    )
+
+    def dot(a: str, b: str) -> str:
+        return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+    # argmax centroid: lexicographic array_max over (dot, cid) structs
+    # == ORDER BY dot DESC, cid DESC LIMIT 1 in the oracle
+    scored = (
+        f"transform(_cent, c -> named_struct('dot', {dot('c.cv', vec_col)}, 'cid', c.cid))"
+    )
+    e = (
+        embeddings.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
+        .withColumn("_cent", cent_lit)
+        .withColumn("bucket", F.expr(f"array_max({scored.replace(vec_col, 'v')}).cid"))
+        .drop("_cent")
+    )
+    # nprobe nearest buckets per query: sort (dot, cid) desc, slice
+    q = (
+        queries.withColumn("_cent", cent_lit)
+        .withColumn(
+            "_probes",
+            F.expr(
+                f"transform(slice(reverse(array_sort({scored.replace(vec_col, 'qv')})), 1, {nprobe}), s -> s.cid)"
+            ),
+        )
+        .drop("_cent")
+        .select("qid", "qv", F.explode("_probes").alias("bucket"))
+    )
+    cands = (
+        q.join(e, "bucket")
+        .filter(F.col("nid") != F.col("qid"))
+        .dropDuplicates(["qid", "nid"])
+        .withColumn("dot", F.expr(dot("qv", "v")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.col("nid"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("nid").alias("neighbor_id"), "rank", "dot")
+    )

@@ -994,6 +994,65 @@ def _ann_lsh_oracle_sql() -> str:
     return lsh_topk_int_oracle_sql(n_query=10, k=3, dim=64, n_planes=16, bands=4)
 
 
+# --------------------------------------------------------------------------
+# q: ANN via IVF (inverted-file coarse quantizer) — the other classic
+#    scale path beside LSH: nearest-centroid buckets, nprobe probing,
+#    exact re-rank; all int64 arithmetic so DuckDB reproduces the bits
+# --------------------------------------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk_int
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(f"transform(embedding, x -> cast(round(x * {EMB_SCALE}, 0) as bigint))").alias("qv"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("qv")
+    )
+    return ivf_topk_int(emb, q, k=3, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE)
+
+
+Q_ANN_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * {EMB_SCALE}, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id < {IVF_CENTROIDS}
+), assign AS (
+  SELECT e.vec_id, e.qv, c.cid,
+         CAST(list_sum(list_transform(range(1, len(e.qv) + 1), i -> e.qv[i] * c.cv[i])) AS BIGINT) AS cdot,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           CAST(list_sum(list_transform(range(1, len(e.qv) + 1), i -> e.qv[i] * c.cv[i])) AS BIGINT) DESC,
+           c.cid DESC) AS crank
+  FROM e CROSS JOIN c
+), buckets AS (
+  SELECT vec_id AS nid, qv AS v, cid AS bucket FROM assign WHERE crank = 1
+), probes AS (
+  SELECT vec_id AS qid, qv, cid AS bucket FROM assign
+  WHERE vec_id < {N_QUERY_VECS} AND crank <= {IVF_NPROBE}
+), cand AS (
+  SELECT DISTINCT p.qid, p.qv, b.nid, b.v
+  FROM probes p JOIN buckets b USING (bucket)
+  WHERE b.nid <> p.qid
+), scored AS (
+  SELECT qid, nid,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) AS BIGINT) AS dot
+  FROM cand
+), r AS (
+  SELECT qid, nid, dot,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS INT) AS rank
+  FROM scored
+)
+SELECT qid, nid AS neighbor_id, rank, dot FROM r WHERE rank <= 3
+"""
+
+
 def q_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.merge import merge_lines
 
@@ -1706,6 +1765,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "doc_fingerprints": q_doc_fingerprints,
     "media_decode": q_media_decode,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLES: dict[str, str] = {
@@ -1747,4 +1807,5 @@ ORACLES: dict[str, str] = {
     "quality_scores": Q_QUALITY_SCORES_SQL,
     "doc_fingerprints": Q_DOC_FINGERPRINTS_SQL,
     "media_decode": Q_MEDIA_DECODE_SQL,
+    "ann_ivf": Q_ANN_IVF_SQL,
 }

@@ -219,6 +219,29 @@ def test_similarity_brute_vs_lsh(spark):
     assert atop == {0: 100, 1: 101}  # planted twins share buckets
 
 
+def test_similarity_ivf(spark):
+    """IVF bucketing: planted near-twins land in the query's own
+    nearest-centroid bucket, so nprobe-probing finds them; results
+    rank by exact integer dot."""
+    from mkgmap_spark.operators.similarity import ivf_topk_int
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    vecs[200] = vecs[0] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    vecs[201] = vecs[1] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    qv = [[int(round(float(x) * 10_000)) for x in v] for v in vecs]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(300), "qv": qv})
+    )
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("qv")
+    )
+    out = ivf_topk_int(emb, q, k=1, n_centroids=8, nprobe=3).collect()
+    top = {r["qid"]: r["neighbor_id"] for r in out}
+    assert top == {0: 200, 1: 201}
+    assert all(r["rank"] == 1 for r in out)
+
+
 # ---------------------------------------------------------------- raster/mm
 def test_raster_overlay_and_multimodal(spark, documents_df, fixture_dir):
     import os
