@@ -103,6 +103,32 @@ def main() -> None:
              ["explode", "!Exchange", "!Join"], lines=8)
     )
 
+    # 8a. mdr_index: the global rank must be the range-partitioned
+    # exclusive scan — a rangepartitioning exchange and a PARTITIONED
+    # window, never WindowExec's single-partition fallback
+    # (the rangepartitioning exchange runs in global_rank's checkpoint
+    # job; the visible plan must show the window PARTITIONED by the
+    # frozen partition id — never an unpartitioned WindowExec)
+    sections.append(
+        grab("mdr_index (range-partitioned global rank)",
+             QUERIES["mdr_index"](spark, SF),
+             ["__gr_pid", "Window"])
+    )
+
+    # 8b. ann_ivf: bucketed candidate join — equi join only
+    sections.append(
+        grab("ann_ivf (IVF bucket equi join)", QUERIES["ann_ivf"](spark, SF),
+             ["hashpartitioning", "!CartesianProduct"])
+    )
+
+    # 8c. tile_assign_fixed: broadcast-free vectorized assignment +
+    # per-tile overflow window (partitioned by tile)
+    sections.append(
+        grab("tile_assign_fixed (assignment + overflow spill)",
+             QUERIES["tile_assign_fixed"](spark, SF),
+             ["tile_of", "AdaptiveSparkPlan"])
+    )
+
     # 8. the full default style compiles + analyzes in bounded time
     import time
 
