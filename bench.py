@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -40,9 +42,27 @@ def main() -> None:
     only = os.environ.get("BENCH_QUERIES")
     names = [n.strip() for n in only.split(",")] if only else list(QUERIES)
 
-    # warm the JVM + parquet footers once so per-query times measure the
-    # queries, not session bring-up
+    # warm the JVM + parquet footers + Python/Arrow worker pool +
+    # shuffle/codegen paths once, so per-query times measure the
+    # queries, not session bring-up (the first pandas_udf of a process
+    # alone costs seconds of worker fork + JIT)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    @F.pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+
+    wdf = spark.range(0, 10_000, 1, int(cpus) if cpus.isdigit() else 8)
+    (
+        wdf.withColumn("w", _warm(F.col("id")))
+        .groupBy(F.col("id") % 97)
+        .agg(F.sum("w").alias("s"))
+        .withColumn("r", F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("s")))
+        .count()
+    )
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
