@@ -327,3 +327,144 @@ def ivf_topk_int(
         .filter(F.col("rank") <= k)
         .select("qid", F.col("nid").alias("neighbor_id"), "rank", "dot")
     )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup family member
+    for embedding columns): sign-LSH band SELF-join -> exact cosine
+    verify, no cross join anywhere.
+
+    Determinism: vectors quantize to int64; the cosine test compares
+    dot^2 >= t^2 * |a|^2 * |b|^2 in doubles whose operands are exact
+    integers — identical IEEE ops in Spark and the SQL oracle (sqrt
+    never enters).  Output: (vec_a, vec_b, cos2) with vec_a < vec_b.
+    """
+    planes = lsh_plane_weights(dim, n_planes)
+    bits_per_band = n_planes // bands
+    qv = f"transform({vec_col}, x -> cast(round(x * {scale}, 0) as bigint))"
+
+    bits = []
+    for p, w in enumerate(planes):
+        warr = "array(" + ", ".join(f"{x}L" for x in w) + ")"
+        d = f"aggregate(zip_with(v, {warr}, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+        bits.append(f"if({d} >= 0, cast({1 << p} as bigint), 0L)")
+    sig = "(" + " + ".join(bits) + ")"
+
+    base = (
+        embeddings.select(F.col(id_col).alias("vid"), F.expr(qv).alias("v"))
+        .withColumn("_sig", F.expr(sig))
+        .withColumn(
+            "_n2",
+            F.expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"),
+        )
+    )
+    # self-join ahead: materialize the signatures once
+    base = base.localCheckpoint(eager=True)
+    banded = base.select(
+        "vid",
+        "v",
+        "_n2",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sig"), b * bits_per_band).bitwiseAND(
+                        F.lit((1 << bits_per_band) - 1).cast("long")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("_n2").alias("na"),
+        "band", "bucket",
+    )
+    b = banded.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("_n2").alias("nb"),
+        "band", "bucket",
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, (acc, z) -> acc + z)")
+    t2 = float(threshold) * float(threshold)
+    return (
+        pairs.withColumn("_dot", dot)
+        .filter(
+            (F.col("_dot") > 0)
+            & (
+                F.col("_dot").cast("double") * F.col("_dot").cast("double")
+                >= F.lit(t2) * F.col("na").cast("double") * F.col("nb").cast("double")
+            )
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                F.col("_dot").cast("double") * F.col("_dot").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("cos2"),
+        )
+    )
+
+
+def embedding_near_dups_oracle_sql(
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    scale: int = 10_000,
+) -> str:
+    """DuckDB equivalent of embedding_near_dups over the embeddings
+    view — replicates the banding (recall-for-recall) and the exact
+    squared-cosine verify."""
+    planes = lsh_plane_weights(dim, n_planes)
+    bits_per_band = n_planes // bands
+    bits = []
+    for p, w in enumerate(planes):
+        warr = "[" + ", ".join(str(x) for x in w) + "]"
+        dot = f"list_sum(list_transform(range(1, {dim} + 1), i -> qv[i] * ({warr})[i]))"
+        bits.append(f"CASE WHEN {dot} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END")
+    sig = "(" + " + ".join(bits) + ")"
+    mask = (1 << bits_per_band) - 1
+    t2 = float(threshold) * float(threshold)
+    return f"""
+WITH qvs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * {scale}, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), sigs AS (
+  SELECT vec_id, qv, {sig} AS sig,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM qvs
+), banded AS (
+  SELECT vec_id, qv, n2, b.band, (sig >> (b.band * {bits_per_band})) & {mask} AS bucket
+  FROM sigs, (SELECT unnest(range(0, {bands})) AS band) b
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, a.qv AS va, a.n2 AS na,
+                  b.vec_id AS vec_b, b.qv AS vb, b.n2 AS nb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT vec_a, vec_b, na, nb,
+         CAST(list_sum(list_transform(range(1, {dim} + 1), i -> va[i] * vb[i])) AS BIGINT) AS dot
+  FROM pairs
+)
+SELECT vec_a, vec_b,
+       CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos2
+FROM scored
+WHERE dot > 0
+  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+      >= {t2!r} * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+"""

@@ -1053,6 +1053,22 @@ SELECT qid, nid AS neighbor_id, rank, dot FROM r WHERE rank <= 3
 """
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the dedup-family member for
+    embedding columns (LSH band self-join, exact cos^2 verify)."""
+    from .operators.similarity import embedding_near_dups
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return embedding_near_dups(emb, threshold=0.7, dim=dim)
+
+
+def _embedding_near_dups_oracle_sql() -> str:
+    from .operators.similarity import embedding_near_dups_oracle_sql
+
+    return embedding_near_dups_oracle_sql(threshold=0.7, dim=64)
+
+
 def q_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.merge import merge_lines
 
@@ -1766,6 +1782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "media_decode": q_media_decode,
     "ann_ivf": q_ann_ivf,
+    "embedding_near_dups": q_embedding_near_dups,
 }
 
 ORACLES: dict[str, str] = {
@@ -1808,4 +1825,5 @@ ORACLES: dict[str, str] = {
     "doc_fingerprints": Q_DOC_FINGERPRINTS_SQL,
     "media_decode": Q_MEDIA_DECODE_SQL,
     "ann_ivf": Q_ANN_IVF_SQL,
+    "embedding_near_dups": _embedding_near_dups_oracle_sql(),
 }

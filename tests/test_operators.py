@@ -657,3 +657,19 @@ def test_audio_wav_decode(spark):
     # sine rms ~ amplitude/sqrt(2)
     assert 7000 < out["a1"]["mean_r"] < 10000
     assert out["a1"]["thumb_md5"] != out["a2"]["thumb_md5"]
+
+
+def test_embedding_near_dups(spark):
+    """Planted scaled copy (cosine ~ 1) surfaces as a near-dup pair;
+    unrelated vectors stay out at a high threshold."""
+    from mkgmap_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(150, 16)).astype(np.float32)
+    vecs[100] = vecs[3] * 1.01
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(150), "embedding": [v.tolist() for v in vecs]})
+    )
+    out = embedding_near_dups(emb, threshold=0.95, dim=16).collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in out] == [(3, 100)]
+    assert out[0]["cos2"] > 0.99
