@@ -1060,13 +1060,13 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    return embedding_near_dups(emb, threshold=0.7, dim=dim)
+    return embedding_near_dups(emb, threshold=0.3, dim=dim)
 
 
 def _embedding_near_dups_oracle_sql() -> str:
     from .operators.similarity import embedding_near_dups_oracle_sql
 
-    return embedding_near_dups_oracle_sql(threshold=0.7, dim=64)
+    return embedding_near_dups_oracle_sql(threshold=0.3, dim=64)
 
 
 def q_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
