@@ -293,23 +293,29 @@ def ivf_topk_int(
         return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
 
     # argmax centroid: lexicographic array_max over (dot, cid) structs
-    # == ORDER BY dot DESC, cid DESC LIMIT 1 in the oracle
-    scored = (
-        f"transform(_cent, c -> named_struct('dot', {dot('c.cv', vec_col)}, 'cid', c.cid))"
-    )
+    # == ORDER BY dot DESC, cid DESC LIMIT 1 in the oracle.  The
+    # template takes the vector column name as a format placeholder —
+    # substring replacement would corrupt lambda vars / field names
+    # for many legal column names.
+    def scored(vc: str) -> str:
+        return (
+            f"transform(_cent, c -> named_struct('dot', {dot('c.cv', vc)}, 'cid', c.cid))"
+        )
+
     e = (
         embeddings.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
         .withColumn("_cent", cent_lit)
-        .withColumn("bucket", F.expr(f"array_max({scored.replace(vec_col, 'v')}).cid"))
+        .withColumn("bucket", F.expr(f"array_max({scored('v')}).cid"))
         .drop("_cent")
     )
     # nprobe nearest buckets per query: sort (dot, cid) desc, slice
     q = (
-        queries.withColumn("_cent", cent_lit)
+        queries.select("qid", F.col(vec_col).alias("qv"))
+        .withColumn("_cent", cent_lit)
         .withColumn(
             "_probes",
             F.expr(
-                f"transform(slice(reverse(array_sort({scored.replace(vec_col, 'qv')})), 1, {nprobe}), s -> s.cid)"
+                f"transform(slice(reverse(array_sort({scored('qv')})), 1, {nprobe}), s -> s.cid)"
             ),
         )
         .drop("_cent")

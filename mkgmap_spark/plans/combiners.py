@@ -183,6 +183,7 @@ def nsis_manifest(
     manifest: DataFrame,
     family_name: str = "OSM map",
     base_filename: str = "osm",
+    family_id: int = DEFAULT_FAMILY_ID,
     product_id: int = DEFAULT_PRODUCT_ID,
     has_index: bool = False,
     typ_name: str | None = None,
@@ -221,7 +222,7 @@ def nsis_manifest(
         [("defines", i, s) for i, s in enumerate(defines)]
         + [("regbin", 0,
             '  WriteRegBin HKLM "SOFTWARE\\Garmin\\MapSource\\Families\\${REG_KEY}" '
-            f'"ID" {family_id_hex(DEFAULT_FAMILY_ID)}')]
+            f'"ID" {family_id_hex(family_id)}')]
         + [("added_files", i, s) for i, s in enumerate(added)]
         + [("removed_files", i, s) for i, s in enumerate(removed)]
         # trails the per-tile Delete rows (seq=mapname < 2^40)

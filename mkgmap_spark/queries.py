@@ -981,11 +981,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_topk_int
 
     emb = _read(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    # dim shared as a constant with the frozen oracle (see
+    # q_embedding_near_dups note)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    return lsh_topk_int(emb, q, k=3, dim=dim, n_planes=16, bands=4)
+    return lsh_topk_int(emb, q, k=3, dim=64, n_planes=16, bands=4)
 
 
 def _ann_lsh_oracle_sql() -> str:
@@ -1059,8 +1060,10 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_near_dups
 
     emb = _read(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    return embedding_near_dups(emb, threshold=0.3, dim=dim)
+    # dim is a CONSTANT shared with the frozen oracle SQL — deriving it
+    # from the data would silently desync the plane weights (and cost
+    # an extra job) if the table dimension ever changed
+    return embedding_near_dups(emb, threshold=0.3, dim=64)
 
 
 def _embedding_near_dups_oracle_sql() -> str:

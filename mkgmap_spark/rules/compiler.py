@@ -535,9 +535,15 @@ def _add_fn_columns(
         # `complete` column; inputs without one (whole-planet batch,
         # synthetic tables) are complete by construction.
         if "complete" in df.columns:
+            # only an explicit false means clipped — null (rows the
+            # resolver never stamped, e.g. nodes/relations unioned in)
+            # stays complete, matching the interpreter twin exactly
             df = df.withColumn(
                 "_fn_is_complete",
-                F.when(F.col("complete").cast("boolean"), F.lit("true")).otherwise(F.lit("false")),
+                F.when(
+                    F.col("complete").cast("boolean").eqNullSafe(F.lit(False)),
+                    F.lit("false"),
+                ).otherwise(F.lit("true")),
             )
         else:
             df = df.withColumn("_fn_is_complete", F.lit("true"))

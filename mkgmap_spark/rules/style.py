@@ -97,18 +97,36 @@ def parse_options(text: str) -> dict[str, str]:
     return out
 
 
+def _decode_int(s: str) -> int:
+    """Java Integer.decode: 0x/0X/# prefix = hex, leading 0 = octal,
+    else decimal (with optional sign) — NOT Python's int(s, 0), which
+    rejects '#1f' and leading-zero decimals."""
+    s = s.strip()
+    sign = 1
+    if s[:1] in "+-":
+        sign = -1 if s[0] == "-" else 1
+        s = s[1:]
+    if s.lower().startswith("0x"):
+        return sign * int(s[2:], 16)
+    if s.startswith("#"):
+        return sign * int(s[1:], 16)
+    if len(s) > 1 and s.startswith("0"):
+        return sign * int(s, 8)
+    return sign * int(s, 10)
+
+
 def parse_overlays(text: str) -> dict[int, list[int]]:
     """OverlayReader.readOverlays:40-60: ``type: t1, t2, ...`` lines,
-    all integers in Java Integer.decode notation (0x.. hex ok)."""
+    all integers in Java Integer.decode notation."""
     out: dict[int, list[int]] = {}
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
             continue
         left, right = line.split(":", 1)
-        repl = [int(x.strip(), 0) for x in right.split(",") if x.strip()]
+        repl = [_decode_int(x) for x in right.split(",") if x.strip()]
         if repl:
-            out[int(left.strip(), 0)] = repl
+            out[_decode_int(left)] = repl
     return out
 
 
@@ -126,6 +144,12 @@ def load_style(base: str, name: str | None = None) -> Style:
             return fh.read()
 
     resolver = lambda pth: read(pth) or ""
+
+    # StyleImpl reads `version` first and rejects directories without
+    # one ("Not a style file") — the guard that catches a typo'd style
+    # path before it silently yields an empty ruleset
+    if read("version") is None:
+        raise ValueError(f"not a style directory (no version file): {base}")
 
     info_txt = read("info") or ""
     info = parse_options(info_txt)

@@ -105,3 +105,22 @@ def test_compile_teststyles_end_to_end(spark):
     out2 = {r["id"]: r["results"] for r in compile_rules(simple.rules["lines"], df2).collect()}
     assert out2[1][0]["type_code"] == 0x2  # highway=primary & x=y wins first
     assert out2[2][0]["type_code"] == 0x3
+
+
+def test_parse_overlays_integer_decode():
+    from mkgmap_spark.rules.style import _decode_int, parse_overlays
+
+    # Java Integer.decode: leading zero = octal, 0x = hex
+    assert _decode_int("010") == 8
+    assert _decode_int("#1f") == 31
+    assert _decode_int("0x142") == 0x142
+    assert _decode_int("-07") == -7
+    ov = parse_overlays("010: 0x1, 07\n")
+    assert ov == {8: [1, 7]}
+
+
+def test_load_style_rejects_non_style_dir(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="version"):
+        load_style(str(tmp_path))

@@ -63,3 +63,22 @@ def test_compile_rules_sets_dedup_policy(vanilla_confs):
     assert spark.conf.get("spark.sql.mapKeyDedupPolicy") == "LAST_WIN"
     # fixture teardown restores; while inside, LAST_WIN is what the
     # driver's process would keep for the rest of its run — correct.
+
+
+def test_is_complete_null_matches_interpreter(spark):
+    """Null `complete` (rows the resolver never stamped) must read as
+    complete in BOTH engines — only explicit false means clipped."""
+    from mkgmap_spark.rules.compiler import compile_rules
+    from mkgmap_spark.rules.interpreter import interpret
+    from mkgmap_spark.rules.parser import parse_rules
+
+    rules = parse_rules("highway=* & is_complete()=true { set ok=yes } [0x1 resolution 24]")
+    df = spark.createDataFrame(
+        [(1, {"highway": "a"}, True), (2, {"highway": "a"}, None), (3, {"highway": "a"}, False)],
+        "id long, tags map<string,string>, complete boolean",
+    )
+    got = {r["id"]: r["tags_out"].get("ok") for r in compile_rules(rules, df).collect()}
+    assert got == {1: "yes", 2: "yes", 3: None}
+    for comp, want in ((True, "yes"), (None, "yes"), (False, None)):
+        _, tags = interpret(rules, {"highway": "a"}, geom={"complete": comp}, el={"id": 9, "kind": "way"})
+        assert tags.get("ok") == want, comp
