@@ -1649,6 +1649,131 @@ FROM k GROUP BY sort_key, src
 POI_ROUND = 12  # round coordinates to 2^12 map units
 
 
+def q_poi_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--add-pois-to-areas / --add-pois-to-lines (POIGeneratorHook):
+    area POIs via label-node priority + centre-of-gravity fallback,
+    line POIs at start/end/inner/mid (planar-length midpoint — every
+    op IEEE-specified, see operators/poi_gen.py)."""
+    from .operators.poi_gen import areas_to_pois, lines_to_pois
+
+    AH, AW = 4000, 6000
+    s = _read(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    cy = lat_col("s_suppkey")
+    cx = lon_col("s_suppkey")
+    polys = s.select(
+        k.alias("id"),
+        F.create_map(F.lit("building"), F.lit("yes")).alias("tags"),
+        F.array(cy - AH, cy - AH, cy + AH, cy + AH, cy - AH).cast("array<int>").alias("lats"),
+        F.array(cx - AW, cx + AW, cx + AW, cx - AW, cx - AW).cast("array<int>").alias("lons"),
+    )
+    # every 3rd polygon gets a label node at its FIRST corner
+    nodes = (
+        s.filter(F.pmod(k, F.lit(3)) == 0)
+        .select(
+            k.alias("id"),
+            F.when(F.pmod(k, F.lit(2)) == 0, F.create_map(F.lit("entrance"), F.lit("main")))
+            .otherwise(F.create_map(F.lit("entrance"), F.lit("yes")))
+            .alias("tags"),
+            (cy - AH).cast("int").alias("lat"),
+            (cx - AW).cast("int").alias("lon"),
+        )
+    )
+    area_pois = areas_to_pois(polys, nodes).select(
+        "id", F.lit("area").alias("poi_type"), "lat", "lon"
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey").cast("long")
+
+    def pt(expr):
+        return (
+            F.pmod(expr * C_LAT, F.lit(LAT_MOD)) - LAT_OFF,
+            F.pmod(expr * C_LON, F.lit(LON_MOD)) - LON_OFF,
+        )
+
+    y0, x0 = pt(ok)
+    y1, x1 = pt(ok + 1)
+    y2, x2 = pt(ok + 2)
+    lines = o.select(
+        ok.alias("id"),
+        F.create_map(F.lit("highway"), F.lit("path")).alias("tags"),
+        F.array(y0, y1, y2).cast("array<int>").alias("lats"),
+        F.array(x0, x1, x2).cast("array<int>").alias("lons"),
+    )
+    line_pois = lines_to_pois(lines, planar=True).select("id", "poi_type", "lat", "lon")
+    return area_pois.unionByName(line_pois)
+
+
+def _poi_generate_oracle_sql() -> str:
+    AH, AW = 4000, 6000
+    y = lat_sql("s_suppkey")
+    x = lon_sql("s_suppkey")
+    ly0, lx0 = lat_sql("o_orderkey"), lon_sql("o_orderkey")
+    ly1, lx1 = lat_sql("(o_orderkey + 1)"), lon_sql("(o_orderkey + 1)")
+    ly2, lx2 = lat_sql("(o_orderkey + 2)"), lon_sql("(o_orderkey + 2)")
+    return f"""
+WITH polys AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS id, {y} AS cy, {x} AS cx FROM supplier
+), ringpts AS (
+  SELECT id, 0 AS pos, cy - {AH} AS ly, cx - {AW} AS lx FROM polys
+  UNION ALL SELECT id, 1, cy - {AH}, cx + {AW} FROM polys
+  UNION ALL SELECT id, 2, cy + {AH}, cx + {AW} FROM polys
+  UNION ALL SELECT id, 3, cy + {AH}, cx - {AW} FROM polys
+  UNION ALL SELECT id, 4, cy - {AH}, cx - {AW} FROM polys
+), labels AS (
+  -- label node at the first corner of every 3rd polygon; several
+  -- nodes sharing a coordinate keep the best (lowest) order
+  SELECT cy - {AH} AS ly, cx - {AW} AS lx,
+         MIN(CASE WHEN id % 2 = 0 THEN 0 ELSE 1 END) AS ord
+  FROM polys WHERE id % 3 = 0
+  GROUP BY 1, 2
+), best AS (
+  SELECT id, ly, lx,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY ord, pos) AS rn
+  FROM ringpts JOIN labels USING (ly, lx)
+), areas AS (
+  SELECT p.id, 'area' AS poi_type,
+         CAST(COALESCE(b.ly,
+              CAST(floor((2 * (4 * p.cy) + 4) / 8.0) AS BIGINT)) AS INT) AS lat,
+         CAST(COALESCE(b.lx,
+              CAST(floor((2 * (4 * p.cx) + 4) / 8.0) AS BIGINT)) AS INT) AS lon
+  FROM polys p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (id)
+), pts AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS id,
+         {ly0} AS y0, {lx0} AS x0, {ly1} AS y1, {lx1} AS x1, {ly2} AS y2, {lx2} AS x2
+  FROM orders
+), dists AS (
+  SELECT *, sqrt(CAST((y1-y0)*(y1-y0) + (x1-x0)*(x1-x0) AS DOUBLE)) AS d1,
+            sqrt(CAST((y2-y1)*(y2-y1) + (x2-x1)*(x2-x1) AS DOUBLE)) AS d2
+  FROM pts
+), mids AS (
+  SELECT id, 'mid' AS poi_type,
+         CASE WHEN (d1+d2)/2 <= d1
+              THEN CAST(floor(y0 + (CASE WHEN d1 = 0 THEN 0 ELSE (d1+d2)/2/d1 END) * (y1-y0) + 0.5) AS INT)
+              ELSE CAST(floor(y1 + (CASE WHEN d2 = 0 THEN 0 ELSE ((d1+d2)/2 - d1)/d2 END) * (y2-y1) + 0.5) AS INT)
+         END AS lat,
+         CASE WHEN (d1+d2)/2 <= d1
+              THEN CAST(floor(x0 + (CASE WHEN d1 = 0 THEN 0 ELSE (d1+d2)/2/d1 END) * (x1-x0) + 0.5) AS INT)
+              ELSE CAST(floor(x1 + (CASE WHEN d2 = 0 THEN 0 ELSE ((d1+d2)/2 - d1)/d2 END) * (x2-x1) + 0.5) AS INT)
+         END AS lon
+  FROM dists
+), linepois AS (
+  SELECT id, 'start' AS poi_type, CAST(y0 AS INT) AS lat, CAST(x0 AS INT) AS lon FROM pts
+  UNION ALL
+  SELECT id, 'end', CAST(y2 AS INT), CAST(x2 AS INT) FROM pts
+  UNION ALL
+  SELECT id, 'inner', CAST(y1 AS INT), CAST(x1 AS INT) FROM pts
+  WHERE NOT (y1 = y0 AND x1 = x0)
+  UNION ALL
+  SELECT id, poi_type, lat, lon FROM mids
+)
+SELECT id, poi_type, lat, lon FROM areas
+UNION ALL
+SELECT id, poi_type, lat, lon FROM linepois
+"""
+
+
 def q_poi_way_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = POI_ROUND
     pois = _read(spark, sf_dir, "customer").select(
@@ -1786,6 +1911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode": q_media_decode,
     "ann_ivf": q_ann_ivf,
     "embedding_near_dups": q_embedding_near_dups,
+    "poi_generate": q_poi_generate,
 }
 
 ORACLES: dict[str, str] = {
@@ -1829,4 +1955,5 @@ ORACLES: dict[str, str] = {
     "media_decode": Q_MEDIA_DECODE_SQL,
     "ann_ivf": Q_ANN_IVF_SQL,
     "embedding_near_dups": _embedding_near_dups_oracle_sql(),
+    "poi_generate": _poi_generate_oracle_sql(),
 }
