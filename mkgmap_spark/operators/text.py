@@ -313,3 +313,27 @@ def transliterate_labels(
     for c in cols:
         df = df.withColumn(c, kernel(F.col(c)))
     return df
+
+
+def name_from_tag_list(
+    df: DataFrame, spec: str = "name", tags_col: str = "tags"
+) -> DataFrame:
+    """--name-tag-list (osmstyle/NameFinder.java): the first non-null
+    tag in the comma/space-separated list becomes the ``name`` tag
+    (setNameWithNameTagList:100-115 — default plain 'name' is a
+    no-op).  One map_concat Column, no shuffle."""
+    import re as _re
+
+    keys = [k for k in _re.split(r"[,\s]+", spec.strip()) if k]
+    if keys == ["name"]:
+        return df
+    t = F.col(tags_col)
+    picked = F.coalesce(*[t.getItem(k) for k in keys])
+    new_tags = F.when(
+        picked.isNotNull(),
+        F.map_concat(
+            F.expr(f"map_filter({tags_col}, (k, v) -> k != 'name')"),
+            F.create_map(F.lit("name"), picked),
+        ),
+    ).otherwise(t)
+    return df.withColumn(tags_col, new_tags)

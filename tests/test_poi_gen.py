@@ -67,3 +67,25 @@ def test_lines_to_pois_degenerate(spark):
     rows = {r["poi_type"]: (r["lat"], r["lon"]) for r in lines_to_pois(lines, planar=True).collect()}
     assert rows["start"] == (7, 9) and rows["end"] == (7, 9)
     assert rows["mid"] == (7, 9)
+
+
+def test_name_from_tag_list(spark):
+    """--name-tag-list: first non-null tag of the list becomes name."""
+    from mkgmap_spark.operators.text import name_from_tag_list
+
+    df = spark.createDataFrame(
+        [
+            (1, {"name": "local", "name:en": "english"}),
+            (2, {"int_name": "intl"}),
+            (3, {"shop": "bakery"}),
+        ],
+        "id long, tags map<string,string>",
+    )
+    out = {
+        r["id"]: r["tags"].get("name")
+        for r in name_from_tag_list(df, "name:en, int_name, name").collect()
+    }
+    assert out == {1: "english", 2: "intl", 3: None}
+    # default list is a no-op
+    same = {r["id"]: r["tags"].get("name") for r in name_from_tag_list(df).collect()}
+    assert same[1] == "local"
