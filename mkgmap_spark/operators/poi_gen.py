@@ -19,12 +19,16 @@ Reference: reader/osm/POIGeneratorHook.java —
 Spark form: everything is Column arithmetic over the packed coord
 arrays (posexplode for the ring-label join, one aggregate() fold per
 line for the midpoint walk).  Divergences, shared with the SQL
-oracles: centre of gravity rounds with integer arithmetic
-(floor((2*sum + n) / (2*n))) instead of the reference's high-precision
-Coord average, and ``planar=True`` swaps the equirectangular segment
-length (whose cos() is not IEEE-specified and differs across engines)
-for the planar integer length, which uses only correctly-rounded IEEE
-ops and is therefore bit-reproducible anywhere.
+oracles: centre of gravity rounds half-up as floor((2*sum + n) /
+(2*n)) over exact int64 operands (IEEE division + floor are correctly
+rounded, so the value is bit-identical in any engine) instead of the
+reference's high-precision Coord average; the default segment length
+is the equirectangular estimate with the longitude delta wrapped the
+short way around, WITHOUT the reference's >=10 km rhumb-line switch
+(Coord.distance:432-473) — mid POIs on lines with very long segments
+may differ; and ``planar=True`` swaps the equirectangular cos()
+(not IEEE-specified, differs across engines) for the planar integer
+length, which is bit-reproducible anywhere.
 """
 
 from __future__ import annotations
@@ -90,13 +94,17 @@ def areas_to_pois(
         "and lons[0] = lons[size(lons)-1], 1, 0)"
     )
     def rounded_avg(sum_expr: str) -> F.Column:
-        # integer round-half-up without float division: (2s + n) div 2n
-        # (exactly reproducible in any SQL engine)
+        # round-half-up via floor((2s + n) / 2n): both operands are
+        # exact int64 well under 2^53, and IEEE double division and
+        # floor are correctly rounded — bit-identical in any engine
         return F.expr(
             f"cast(floor((2 * {sum_expr} + _n) / cast(2 * _n as double)) as int)"
         )
 
-    withn = polygons.withColumn("_n", n_eff)
+    # empty coordinate arrays: the reference's getCofG returns null
+    # (Way.java:194-196); here the polygon simply emits no POI instead
+    # of aborting the job on ANSI divide-by-zero
+    withn = polygons.filter(F.expr("size(lats) > 0")).withColumn("_n", n_eff)
     sy = f"aggregate(slice(lats, 1, _n), 0L, (a, x) -> a + x)"
     sx = f"aggregate(slice(lons, 1, _n), 0L, (a, x) -> a + x)"
     out = (
@@ -120,8 +128,10 @@ def lines_to_pois(lines: DataFrame, planar: bool = False) -> DataFrame:
 
     ``planar=True``: segment lengths without the equirectangular cos()
     latitude scaling — every op IEEE-specified, so the result is
-    bit-identical in any engine (the driver-oracle twin); the default
-    matches the reference's Coord.distance."""
+    bit-identical in any engine (the driver-oracle twin).  The default
+    is the reference's equirectangular estimate with short-way
+    longitude wrapping; see the module docstring for the >=10 km
+    rhumb-line divergence."""
     tagged = lines.select(
         "id",
         F.map_concat(
@@ -172,14 +182,18 @@ def lines_to_pois(lines: DataFrame, planar: bool = False) -> DataFrame:
             "+ cast(lons[i] - lons[i-1] as bigint) * (lons[i] - lons[i-1]) as double))"
         )
     else:
+        half = 1 << 23  # half the lon range: wrap deltas the short way
+        dlon = (
+            f"(pmod(cast(lons[i] - lons[i-1] as bigint) + {half}, {2 * half}) - {half})"
+        )
         seg = (
             f"sqrt(pow(cast(lats[i] - lats[i-1] as double) * {_MU!r}, 2) + "
-            f"pow(cast(lons[i] - lons[i-1] as double) * {_MU!r} * "
+            f"pow(cast({dlon} as double) * {_MU!r} * "
             f"cos((cast(lats[i-1] as double) + lats[i]) * {_MU!r} / 2), 2))"
         )
     dists = f"transform(sequence(1, size(lats) - 1), i -> {seg})"
     walk = (
-        f"aggregate({dists}, "
+        "aggregate(_d, "
         "named_struct('rem', _half, 'done', false, 'i', 0), "
         "(a, d) -> if(a.done, a, "
         # d = 0 on degenerate all-equal-point lines: frac 0, not 0/0
@@ -188,7 +202,11 @@ def lines_to_pois(lines: DataFrame, planar: bool = False) -> DataFrame:
     )
     mid = (
         tagged.filter(F.expr("size(lats) >= 2"))
-        .withColumn("_half", F.expr(f"aggregate({dists}, 0D, (a, d) -> a + d) / 2"))
+        # materialize the lengths once: lambda-bearing expressions are
+        # excluded from subexpression elimination (SPARK-35410), so
+        # inlining dists in both aggregates doubles the sqrt work
+        .withColumn("_d", F.expr(dists))
+        .withColumn("_half", F.expr("aggregate(_d, 0D, (a, d) -> a + d) / 2"))
         .withColumn("_w", F.expr(walk))
         .filter(F.col("_w.done"))
         .select(

@@ -325,7 +325,9 @@ def name_from_tag_list(
     import re as _re
 
     keys = [k for k in _re.split(r"[,\s]+", spec.strip()) if k]
-    if keys == ["name"]:
+    # empty and default specs are both no-ops (NameFinder returns null
+    # work for them; an empty coalesce() would be an analysis error)
+    if not keys or keys == ["name"]:
         return df
     t = F.col(tags_col)
     picked = F.coalesce(*[t.getItem(k) for k in keys])

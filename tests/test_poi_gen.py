@@ -89,3 +89,34 @@ def test_name_from_tag_list(spark):
     # default list is a no-op
     same = {r["id"]: r["tags"].get("name") for r in name_from_tag_list(df).collect()}
     assert same[1] == "local"
+
+
+def test_poi_gen_edge_cases(spark):
+    """Empty rings emit no POI (no ANSI divide-by-zero); dateline-
+    crossing segments measure the short way; empty name spec no-ops."""
+    from mkgmap_spark.operators.text import name_from_tag_list
+
+    polys = spark.createDataFrame(
+        [(1, {"building": "yes"}, [], []), (2, {"building": "yes"}, [4, 4], [0, 8])],
+        "id long, tags map<string,string>, lats array<int>, lons array<int>",
+    )
+    nodes = spark.createDataFrame([], "id long, tags map<string,string>, lat int, lon int")
+    out = areas_to_pois(polys, nodes).collect()
+    assert [r["id"] for r in out] == [2]
+
+    # dateline wrap affects segment LENGTHS (Coord.distance wraps the
+    # short way): the first segment crosses the antimeridian and is 20
+    # units, not 2^24-20, so the midpoint lands in the SECOND segment
+    # (interpolation itself is raw, like the reference's
+    # makeBetweenPoint)
+    H = 1 << 23
+    lines = spark.createDataFrame(
+        [(1, {}, [0, 0, 0], [H - 10, -(H - 10), -(H - 10) + 1000])],
+        "id long, tags map<string,string>, lats array<int>, lons array<int>",
+    )
+    mid = [r for r in lines_to_pois(lines).collect() if r["poi_type"] == "mid"][0]
+    # half of (20 + 1000) = 510 -> 490 into segment 2
+    assert mid["lon"] == -(H - 10) + 490
+
+    df = spark.createDataFrame([(1, {"name": "x"})], "id long, tags map<string,string>")
+    assert name_from_tag_list(df, "  ").collect()[0]["tags"]["name"] == "x"
