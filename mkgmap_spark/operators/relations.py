@@ -380,3 +380,54 @@ def _canon_ring(la, lo):
     if len(pts) >= 3 and pts[-1] < pts[1]:
         pts = [pts[0]] + pts[1:][::-1]
     return [p[0] for p in pts], [p[1] for p in pts]
+
+
+CUT_OUT_SCHEMA = "rel_id long, poly_idx int, n_points int, lats array<int>, lons array<int>"
+
+
+def cut_multipolygons(rings: DataFrame) -> DataFrame:
+    """Hole elimination per relation (MultiPolygonCutter.java:70-200
+    contract: Garmin shapes cannot carry holes).
+
+    Input: assemble_multipolygons output (MP_OUT_SCHEMA).  Each closed
+    outer ring becomes one hole-free simple polygon with its contained
+    holes bridged in (functions/holes.py — coverage-identical to the
+    reference's awt-Area subtraction, decomposition differs and is
+    documented there).  Unclosed rings are dropped like the
+    reference's warn-and-skip.  Relations are small groups: one
+    grouped Arrow kernel, no shuffle beyond the groupBy."""
+    import numpy as np
+
+    from ..functions.geometry import points_in_ring
+    from ..functions.holes import cut_out_inner_polygons
+
+    def kernel(key, pdf):
+        rel_id = int(key[0])
+        closed = pdf[pdf["closed"]]
+        outers = closed[~closed["is_hole"]]
+        holes = closed[closed["is_hole"]]
+        hole_rings = [
+            (np.asarray(r["lats"], dtype=np.int64), np.asarray(r["lons"], dtype=np.int64))
+            for _, r in holes.iterrows()
+        ]
+        out = []
+        used = np.zeros(len(hole_rings), dtype=bool)
+        for _, orow in outers.sort_values("ring_idx").iterrows():
+            oy = np.asarray(orow["lats"], dtype=np.int64)
+            ox = np.asarray(orow["lons"], dtype=np.int64)
+            mine = []
+            for hi, (hy, hx) in enumerate(hole_rings):
+                if used[hi]:
+                    continue
+                if points_in_ring(hy[:1], hx[:1], oy, ox)[0]:
+                    mine.append((hy, hx))
+                    used[hi] = True
+            my, mx = cut_out_inner_polygons((oy, ox), mine)
+            out.append((rel_id, len(out), len(my), my.tolist(), mx.tolist()))
+        import pandas as pd
+
+        return pd.DataFrame(
+            out, columns=["rel_id", "poly_idx", "n_points", "lats", "lons"]
+        )
+
+    return rings.groupBy("rel_id").applyInPandas(kernel, CUT_OUT_SCHEMA)

@@ -76,3 +76,120 @@ def test_apply_to_members(spark):
     assert got[10].get("mp") == "yes" and got[12].get("mp") == "yes"
     # non-member features untouched would need one; all 4 are members here
     assert all("k" in v for v in got.values())
+
+
+def test_cut_out_inner_polygons_kernel():
+    """Bridged ring covers exactly outer minus holes: shoelace area is
+    conserved and winding parity matches on a dense sample grid."""
+    import numpy as np
+
+    from mkgmap_spark.functions.geometry import points_in_ring, shoelace2
+    from mkgmap_spark.functions.holes import cut_out_inner_polygons
+
+    outer = (np.array([0, 0, 100, 100]), np.array([0, 100, 100, 0]))
+    hole1 = (np.array([20, 20, 40, 40]), np.array([20, 40, 40, 20]))
+    hole2 = (np.array([60, 60, 80, 80]), np.array([50, 90, 90, 50]))
+    my, mx = cut_out_inner_polygons(outer, [hole1, hole2])
+
+    a_outer = abs(shoelace2(*outer))
+    a_h1 = abs(shoelace2(*hole1))
+    a_h2 = abs(shoelace2(*hole2))
+    assert abs(shoelace2(my, mx)) == a_outer - a_h1 - a_h2
+
+    # winding parity equivalence on a grid avoiding boundaries
+    ys, xs = np.meshgrid(np.arange(1, 100, 3), np.arange(1, 100, 3))
+    py, px = ys.ravel(), xs.ravel()
+    want = (
+        points_in_ring(py, px, *outer)
+        & ~points_in_ring(py, px, *hole1)
+        & ~points_in_ring(py, px, *hole2)
+    )
+    got = points_in_ring(py, px, my, mx)
+    # bridge channels are zero-width: exclude points on bridge rows
+    off_bridge = ~np.isin(py, [my[i] for i in range(len(my))]) | True
+    assert (got == want).mean() > 0.99  # only bridge-line points may flip
+    mism = np.flatnonzero(got != want)
+    # any mismatch must sit exactly on a bridge (hole rightmost y)
+    assert all(py[i] in (20, 40, 60, 80, 30, 70) for i in mism)
+
+
+def test_cut_multipolygons_operator(spark):
+    """DataFrame-level hole elimination over assembled rings."""
+    import numpy as np
+
+    from mkgmap_spark.functions.geometry import shoelace2
+    from mkgmap_spark.operators.relations import cut_multipolygons
+
+    rings = spark.createDataFrame(
+        [
+            # rel 1: outer with one hole
+            (1, 0, True, False, 5, [0, 0, 100, 100, 0], [0, 100, 100, 0, 0]),
+            (1, 1, True, True, 5, [30, 30, 60, 60, 30], [30, 60, 60, 30, 30]),
+            # rel 1: second outer, no holes
+            (1, 2, True, False, 4, [200, 200, 250, 250], [0, 50, 50, 0]),
+            # unclosed ring: dropped
+            (1, 3, False, False, 2, [500, 510], [0, 10]),
+            # rel 2: plain square
+            (2, 0, True, False, 4, [0, 0, 10, 10], [0, 10, 10, 0]),
+        ],
+        "rel_id long, ring_idx int, closed boolean, is_hole boolean, "
+        "n_points int, lats array<int>, lons array<int>",
+    )
+    out = cut_multipolygons(rings).collect()
+    by = {(r["rel_id"], r["poly_idx"]): r for r in out}
+    assert set(by) == {(1, 0), (1, 1), (2, 0)}
+    a0 = abs(shoelace2(np.array(by[(1, 0)]["lats"]), np.array(by[(1, 0)]["lons"])))
+    assert a0 == 2 * (100 * 100 - 30 * 30)  # outer minus hole, 2x area
+    a1 = abs(shoelace2(np.array(by[(1, 1)]["lats"]), np.array(by[(1, 1)]["lons"])))
+    assert a1 == 2 * 50 * 50
+
+
+def test_cut_out_inner_polygons_randomized():
+    """Randomized concave (star) outers with square holes: winding
+    parity of the bridged ring must equal outer∧¬holes everywhere off
+    the boundary lines — catches invalid bridges (a self-crossing
+    splice flips parity in whole regions, not just on bridge rows)."""
+    import numpy as np
+
+    from mkgmap_spark.functions.geometry import points_in_ring
+    from mkgmap_spark.functions.holes import cut_out_inner_polygons
+
+    rng = np.random.RandomState(11)
+    for trial in range(12):
+        nv = rng.randint(6, 14)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.randint(400, 1000, nv)
+        oy = (np.cos(ang) * rad).astype(np.int64)
+        ox = (np.sin(ang) * rad).astype(np.int64)
+        holes = []
+        for _ in range(rng.randint(1, 4)):
+            hy0 = rng.randint(-200, 120)
+            hx0 = rng.randint(-200, 120)
+            s = rng.randint(20, 80)
+            hy = np.array([hy0, hy0, hy0 + s, hy0 + s], dtype=np.int64)
+            hx = np.array([hx0, hx0 + s, hx0 + s, hx0], dtype=np.int64)
+            corners_in = points_in_ring(hy, hx, oy, ox)
+            # precondition from the assembler: holes are disjoint —
+            # reject bbox overlap with an already chosen hole
+            overlaps = any(
+                max(hy.min(), h1[0].min()) <= min(hy.max(), h1[0].max())
+                and max(hx.min(), h1[1].min()) <= min(hx.max(), h1[1].max())
+                for h1 in holes
+            )
+            if corners_in.all() and not overlaps:
+                holes.append((hy, hx))
+        if not holes:
+            continue
+        my, mx = cut_out_inner_polygons((oy, ox), holes)
+        ys, xs = np.meshgrid(np.arange(-950, 951, 37), np.arange(-950, 951, 37))
+        py, px = ys.ravel().astype(np.int64), xs.ravel().astype(np.int64)
+        want = points_in_ring(py, px, oy, ox)
+        for hy, hx in holes:
+            want &= ~points_in_ring(py, px, hy, hx)
+        got = points_in_ring(py, px, my, mx)
+        mism = np.flatnonzero(got != want)
+        # mismatches may only sit on bridge rows (hole rightmost y's)
+        bridge_ys = {int(hy[np.argmax(hx)]) for hy, hx in holes} | {
+            int(hy[i]) for hy, hx in holes for i in np.flatnonzero(hx == hx.max())
+        }
+        assert all(int(py[i]) in bridge_ys for i in mism), (trial, len(mism))
