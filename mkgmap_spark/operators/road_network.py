@@ -1,0 +1,118 @@
+"""Routing graph extraction: junctions + arcs (the NET/NOD essence).
+
+Reference: the reference compiles routable roads into RouteNode/
+RouteArc graphs (general/RoadNetwork.java:74-142 `addRoad`: a node at
+every point shared by two or more roads — Coord.getUsageCount /
+setNumberNode — plus the road's first and last point; an arc per
+node-to-node stretch, carrying length and the road's class/speed).
+The binary NOD encoding is out of scope (input_hint: tables); this
+operator emits the graph AS TABLES.
+
+Spark form, all Column work:
+
+- posexplode the packed coord arrays once;
+- junction detection = groupBy(coord) count >= 2 — the usage-count
+  re-expression (distinct ways per coord, not raw point count, so a
+  way revisiting its own point does not fabricate a junction);
+- arc segmentation = per-way prefix count of node marks (window
+  PARTITIONED by way id — never a global window) assigns every
+  segment to its arc; groupBy(way, arc) folds the arc's endpoints,
+  point count and cost.
+
+Arc cost here is the exact-integer Manhattan length in map units
+(deterministic in any engine — the driver oracle needs bit equality);
+metres are a monotone per-segment transform the caller can apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def road_network(roads: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """roads: (id, lats, lons, road_class, road_speed).
+
+    Returns (nodes, arcs):
+    nodes: (node_y, node_x, n_ways) — junction or endpoint coords;
+    arcs:  (way_id, arc_idx, from_y, from_x, to_y, to_x, n_points,
+            cost, road_class, road_speed).
+    """
+    pts = roads.select(
+        F.col("id").alias("way_id"),
+        "road_class",
+        "road_speed",
+        F.expr("size(lats)").alias("_n"),
+        F.posexplode(F.arrays_zip("lats", "lons")).alias("pos", "_p"),
+    ).select(
+        "way_id", "road_class", "road_speed", "_n", "pos",
+        F.col("_p.lats").alias("y"), F.col("_p.lons").alias("x"),
+    )
+
+    # junctions: coords used by >= 2 DISTINCT ways
+    usage = pts.groupBy("y", "x").agg(
+        F.countDistinct("way_id").alias("n_ways")
+    )
+    junctions = usage.filter(F.col("n_ways") >= 2)
+
+    marked = pts.join(
+        junctions.select("y", "x", F.lit(True).alias("_junction")),
+        ["y", "x"],
+        "left",
+    ).withColumn(
+        "is_node",
+        (F.col("pos") == 0)
+        | (F.col("pos") == F.col("_n") - 1)
+        | F.col("_junction").isNotNull(),
+    )
+
+    # per-way arc id for every SEGMENT (pos-1 -> pos): number of node
+    # marks strictly before the segment's end — window partitioned by
+    # way, no global window anywhere
+    w = Window.partitionBy("way_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    seg = (
+        marked.withColumn("_marks_before", F.coalesce(F.sum(F.col("is_node").cast("int")).over(w), F.lit(0)))
+        .withColumn(
+            "_py", F.lag("y").over(Window.partitionBy("way_id").orderBy("pos"))
+        )
+        .withColumn(
+            "_px", F.lag("x").over(Window.partitionBy("way_id").orderBy("pos"))
+        )
+        .filter(F.col("pos") > 0)
+        .withColumn("arc_idx", (F.col("_marks_before") - 1).cast("int"))
+        .withColumn(
+            "_cost",
+            (F.abs(F.col("y").cast("long") - F.col("_py")) + F.abs(F.col("x").cast("long") - F.col("_px"))),
+        )
+    )
+    arcs = (
+        seg.groupBy("way_id", "arc_idx")
+        .agg(
+            F.min_by(F.struct(F.col("_py").alias("y"), F.col("_px").alias("x")), F.col("pos")).alias("_from"),
+            F.max_by(F.struct(F.col("y").alias("y"), F.col("x").alias("x")), F.col("pos")).alias("_to"),
+            (F.count(F.lit(1)) + 1).cast("int").alias("n_points"),
+            F.sum("_cost").alias("cost"),
+            F.first("road_class").alias("road_class"),
+            F.first("road_speed").alias("road_speed"),
+        )
+        .select(
+            "way_id", "arc_idx",
+            F.col("_from.y").cast("int").alias("from_y"),
+            F.col("_from.x").cast("int").alias("from_x"),
+            F.col("_to.y").cast("int").alias("to_y"),
+            F.col("_to.x").cast("int").alias("to_x"),
+            "n_points", "cost", "road_class", "road_speed",
+        )
+    )
+
+    # node table: junctions plus way endpoints
+    ends = pts.filter((F.col("pos") == 0) | (F.col("pos") == F.col("_n") - 1)).select("y", "x")
+    nodes = (
+        usage.join(ends.distinct(), ["y", "x"], "left_semi")
+        .unionByName(junctions)
+        .dropDuplicates(["y", "x"])
+        .select(F.col("y").alias("node_y"), F.col("x").alias("node_x"), "n_ways")
+    )
+    return nodes, arcs

@@ -1774,6 +1774,78 @@ SELECT id, poi_type, lat, lon FROM linepois
 """
 
 
+def q_road_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing-graph arcs (RoadNetwork.addRoad): 3-point ways chained
+    through shared scatter points — consecutive order keys share
+    endpoints, so junctions split ways into arcs."""
+    from .operators.road_network import road_network
+
+    o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+
+    def pt(e):
+        return (
+            (F.pmod(e * C_LAT, F.lit(LAT_MOD)) - LAT_OFF).cast("int"),
+            (F.pmod(e * C_LON, F.lit(LON_MOD)) - LON_OFF).cast("int"),
+        )
+
+    y0, x0 = pt(2 * k)
+    y1, x1 = pt(2 * k + 1)
+    y2, x2 = pt(2 * k + 2)
+    roads = o.select(
+        k.alias("id"),
+        F.array(y0, y1, y2).alias("lats"),
+        F.array(x0, x1, x2).alias("lons"),
+        F.pmod(k, F.lit(5)).cast("int").alias("road_class"),
+        F.pmod(k, F.lit(8)).cast("int").alias("road_speed"),
+    )
+    _nodes, arcs = road_network(roads)
+    return arcs
+
+
+def _road_network_oracle_sql() -> str:
+    p = [
+        (lat_sql("(2 * o_orderkey)"), lon_sql("(2 * o_orderkey)")),
+        (lat_sql("(2 * o_orderkey + 1)"), lon_sql("(2 * o_orderkey + 1)")),
+        (lat_sql("(2 * o_orderkey + 2)"), lon_sql("(2 * o_orderkey + 2)")),
+    ]
+    selects = "\n  UNION ALL ".join(
+        f"SELECT CAST(o_orderkey AS BIGINT) AS way_id, {i} AS pos, "
+        f"{y} AS y, {x} AS x, CAST(o_orderkey % 5 AS INT) AS road_class, "
+        f"CAST(o_orderkey % 8 AS INT) AS road_speed FROM orders"
+        for i, (y, x) in enumerate(p)
+    )
+    return f"""
+WITH pts AS (
+  {selects}
+), usage AS (
+  SELECT y, x, COUNT(DISTINCT way_id) AS nw FROM pts GROUP BY 1, 2
+), marked AS (
+  SELECT p.*, (p.pos = 0 OR p.pos = 2 OR u.nw >= 2) AS is_node
+  FROM pts p JOIN usage u USING (y, x)
+), seg AS (
+  SELECT way_id, pos, y, x, road_class, road_speed,
+         SUM(CASE WHEN is_node THEN 1 ELSE 0 END) OVER (
+           PARTITION BY way_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS marks_before,
+         LAG(y) OVER (PARTITION BY way_id ORDER BY pos) AS py,
+         LAG(x) OVER (PARTITION BY way_id ORDER BY pos) AS px
+  FROM marked
+)
+SELECT way_id, CAST(marks_before - 1 AS INT) AS arc_idx,
+       CAST(arg_min(py, pos) AS INT) AS from_y,
+       CAST(arg_min(px, pos) AS INT) AS from_x,
+       CAST(arg_max(y, pos) AS INT) AS to_y,
+       CAST(arg_max(x, pos) AS INT) AS to_x,
+       CAST(COUNT(*) + 1 AS INT) AS n_points,
+       CAST(SUM(ABS(y - py) + ABS(x - px)) AS BIGINT) AS cost,
+       FIRST(road_class) AS road_class,
+       FIRST(road_speed) AS road_speed
+FROM seg WHERE pos > 0
+GROUP BY way_id, marks_before
+"""
+
+
 def q_poi_way_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = POI_ROUND
     pois = _read(spark, sf_dir, "customer").select(
@@ -1912,6 +1984,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "embedding_near_dups": q_embedding_near_dups,
     "poi_generate": q_poi_generate,
+    "road_network": q_road_network,
 }
 
 ORACLES: dict[str, str] = {
@@ -1956,4 +2029,5 @@ ORACLES: dict[str, str] = {
     "ann_ivf": Q_ANN_IVF_SQL,
     "embedding_near_dups": _embedding_near_dups_oracle_sql(),
     "poi_generate": _poi_generate_oracle_sql(),
+    "road_network": _road_network_oracle_sql(),
 }

@@ -673,3 +673,38 @@ def test_embedding_near_dups(spark):
     out = embedding_near_dups(emb, threshold=0.95, dim=16).collect()
     assert [(r["vec_a"], r["vec_b"]) for r in out] == [(3, 100)]
     assert out[0]["cos2"] > 0.99
+
+
+def test_road_network_graph(spark):
+    """Junction + arc extraction (RoadNetwork.addRoad semantics):
+    shared coords split ways into arcs; endpoints are always nodes;
+    a way revisiting its own point is NOT a junction."""
+    from mkgmap_spark.operators.road_network import road_network
+
+    roads = spark.createDataFrame(
+        [
+            # way 1: passes through (5,5), which way 2 also uses -> split
+            (1, [0, 5, 9], [0, 5, 9], 3, 4),
+            (2, [5, 5], [5, 20], 2, 2),
+            # way 3: self-revisit of (50,50) alone must NOT split
+            (3, [50, 60, 50], [50, 60, 50], 1, 1),
+        ],
+        "id long, lats array<int>, lons array<int>, road_class int, road_speed int",
+    )
+    nodes, arcs = road_network(roads)
+    arc_rows = {(r["way_id"], r["arc_idx"]): r for r in arcs.collect()}
+    # way 1 splits at (5,5): two arcs
+    assert set(k for k in arc_rows if k[0] == 1) == {(1, 0), (1, 1)}
+    a0, a1 = arc_rows[(1, 0)], arc_rows[(1, 1)]
+    assert (a0["from_y"], a0["from_x"], a0["to_y"], a0["to_x"]) == (0, 0, 5, 5)
+    assert (a1["from_y"], a1["from_x"], a1["to_y"], a1["to_x"]) == (5, 5, 9, 9)
+    assert a0["cost"] == 10 and a1["cost"] == 8  # manhattan map units
+    assert a0["road_class"] == 3
+    # way 2: single arc
+    assert arc_rows[(2, 0)]["cost"] == 15
+    # way 3: one arc spanning all 3 points (revisit is not a junction)
+    assert set(k for k in arc_rows if k[0] == 3) == {(3, 0)}
+    assert arc_rows[(3, 0)]["n_points"] == 3
+    nd = {(r["node_y"], r["node_x"]) for r in nodes.collect()}
+    assert (5, 5) in nd and (0, 0) in nd and (9, 9) in nd
+    assert (60, 60) not in nd  # interior non-junction
