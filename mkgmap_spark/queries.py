@@ -1774,6 +1774,42 @@ SELECT id, poi_type, lat, lon FROM linepois
 """
 
 
+_HEX = [(1000, 0), (500, 866), (-500, 866), (-1000, 0), (-500, -866), (500, -866)]
+
+
+def q_roundabout_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--check-roundabouts over synthetic hexagonal roundabouts: even
+    supplier keys ring clockwise (map view), odd counter-clockwise;
+    drive-on-right flags the clockwise ones.  The oracle's votes are
+    closed-form: the fixture's cross products depend only on the fixed
+    hexagon offsets (centre cancels), so each ring votes exactly ±2."""
+    from .operators.roundabouts import check_roundabouts
+
+    s = _read(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    cy = lat_col("s_suppkey")
+    cx = lon_col("s_suppkey")
+    cwr = _HEX + [_HEX[0]]
+    ccw = list(reversed(cwr))
+    lats = F.when(
+        F.pmod(k, F.lit(2)) == 0, F.array(*[(cy + dy).cast("int") for dy, _ in cwr])
+    ).otherwise(F.array(*[(cy + dy).cast("int") for dy, _ in ccw]))
+    lons = F.when(
+        F.pmod(k, F.lit(2)) == 0, F.array(*[(cx + dx).cast("int") for _, dx in cwr])
+    ).otherwise(F.array(*[(cx + dx).cast("int") for _, dx in ccw]))
+    rings = s.select(k.alias("id"), lats.alias("lats"), lons.alias("lons"))
+    return check_roundabouts(rings, drive_on_left=False, planar=True)
+
+
+Q_ROUNDABOUT_CHECK_SQL = """
+SELECT CAST(s_suppkey AS BIGINT) AS id,
+       CASE WHEN s_suppkey % 2 = 0 THEN 2 ELSE -2 END AS dir_votes,
+       s_suppkey % 2 = 0 AS clockwise,
+       s_suppkey % 2 = 0 AS wrong_direction
+FROM supplier
+"""
+
+
 def q_road_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Routing-graph arcs (RoadNetwork.addRoad): 3-point ways chained
     through shared scatter points — consecutive order keys share
@@ -1985,6 +2021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": q_embedding_near_dups,
     "poi_generate": q_poi_generate,
     "road_network": q_road_network,
+    "roundabout_check": q_roundabout_check,
 }
 
 ORACLES: dict[str, str] = {
@@ -2030,4 +2067,5 @@ ORACLES: dict[str, str] = {
     "embedding_near_dups": _embedding_near_dups_oracle_sql(),
     "poi_generate": _poi_generate_oracle_sql(),
     "road_network": _road_network_oracle_sql(),
+    "roundabout_check": Q_ROUNDABOUT_CHECK_SQL,
 }

@@ -708,3 +708,38 @@ def test_road_network_graph(spark):
     nd = {(r["node_y"], r["node_x"]) for r in nodes.collect()}
     assert (5, 5) in nd and (0, 0) in nd and (9, 9) in nd
     assert (60, 60) not in nd  # interior non-junction
+
+
+def test_roundabout_check_and_drive_side(spark):
+    """Direction votes flag roundabouts contradicting the driving side
+    (checkRoundabout semantics); drive side detection follows the
+    L > R + unknown rule."""
+    from mkgmap_spark.operators.roundabouts import check_roundabouts, detect_drive_side
+
+    # hexagon listed with (lat=cos, lon=sin): in map view (lon east,
+    # lat north) this walks CLOCKWISE; the reversed ring is CCW
+    hexa = [(1000, 0), (500, 866), (-500, 866), (-1000, 0), (-500, -866), (500, -866)]
+    cwr = hexa + [hexa[0]]
+    ccw = list(reversed(cwr))
+    rings = spark.createDataFrame(
+        [
+            (1, [p[0] for p in cwr], [p[1] for p in cwr]),
+            (2, [p[0] for p in ccw], [p[1] for p in ccw]),
+        ],
+        "id long, lats array<int>, lons array<int>",
+    )
+    for planar in (False, True):
+        out = {r["id"]: r for r in check_roundabouts(rings, drive_on_left=False, planar=planar).collect()}
+        assert out[1]["clockwise"] is True and out[2]["clockwise"] is False, planar
+        assert out[1]["wrong_direction"] is True  # drive-on-right wants CCW
+        assert out[2]["wrong_direction"] is False
+
+    roads = spark.createDataFrame(
+        [(1, "left"), (2, "left"), (3, "right"), (4, None)],
+        "id long, drive_side string",
+    )
+    assert detect_drive_side(roads) is False  # 2 left !> 1 right + 1 unknown
+    more_left = roads.union(
+        spark.createDataFrame([(5, "left"), (6, "left")], "id long, drive_side string")
+    )
+    assert detect_drive_side(more_left) is True  # 4 > 1 + 1
