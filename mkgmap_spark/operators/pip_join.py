@@ -13,12 +13,21 @@ java.awt.Polygon.contains equivalent):
   own model: boundary files are loaded fully, BoundaryUtil.java).  The
   boundaries are indexed by coarse cell once, shipped in the UDF
   closure, and every Arrow batch of points is matched vectorized.
-  Zero shuffles on the points side.
+  Zero shuffles on the points side.  ``boundaries`` may be a Spark
+  DataFrame *or* a driver-side pandas DataFrame — callers that
+  synthesize the boundary set on the driver pass pandas directly and
+  skip a createDataFrame -> toPandas round trip (nested-struct Arrow
+  collection is the single most expensive step of the small-boundary
+  path otherwise).
 
-* ``pip_join_shuffle`` — boundary set too big to broadcast: boundaries
-  are exploded to their bbox cover cells, points join on cell id
-  (AQE-skew-splittable shuffle), and each (boundary, candidate points)
-  group is refined with one vectorized winding test via applyInPandas.
+* ``pip_join_shuffle`` — boundary set too big to broadcast.  The
+  shuffle ships NO geometry: boundaries explode to bare
+  (boundary_id, cell) keys, points join on cell id (AQE-skew-
+  splittable), candidates aggregate into bounded per-(boundary, block)
+  point batches, and ring geometry joins in ONCE per (boundary, block)
+  before a vectorized winding refine.  A continent polygon covering
+  10^4 cells therefore duplicates its rings per coarse block (cells
+  >> BLOCK_SHIFT), not per cell — bounded amplification.
 
 Match semantics (BoundaryQuadTree merge rule): per (point,
 admin_level) the lexicographically-smallest containing boundary_id
@@ -46,6 +55,10 @@ OUT_SCHEMA = T.StructType(
         T.StructField("postcode", T.StringType()),
     ]
 )
+
+# pip_join_shuffle: ring geometry is brought in once per
+# (boundary, cell block); a block is 2^BLOCK_SHIFT cells on a side.
+BLOCK_SHIFT = 4
 
 
 def _prep_boundaries(boundaries_pdf: pd.DataFrame):
@@ -89,15 +102,25 @@ def _cell_index(prepped, gshift: int) -> dict[tuple[int, int], list[int]]:
 
 def pip_join_broadcast(
     points: DataFrame,
-    boundaries: DataFrame,
+    boundaries,
     gshift: int = 16,
     id_col: str = "id",
     lat_col: str = "ay",
     lon_col: str = "ax",
 ) -> DataFrame:
-    """Broadcast PIP join; boundaries collected once on the driver."""
-    prepped = _prep_boundaries(boundaries.toPandas())
+    """Broadcast PIP join; boundaries held once on the driver.
+
+    ``boundaries`` is a Spark DataFrame or a pandas DataFrame with
+    columns (boundary_id, admin_level, name, postcode, rings) where
+    rings is a list of {lats, lons, is_hole} mappings.
+    """
+    if isinstance(boundaries, pd.DataFrame):
+        boundaries_pdf = boundaries
+    else:
+        boundaries_pdf = boundaries.toPandas()
+    prepped = _prep_boundaries(boundaries_pdf)
     cell_idx = _cell_index(prepped, gshift)
+    n_bounds = len(prepped)
 
     def match_batch(it):
         for pdf in it:
@@ -106,28 +129,37 @@ def pip_join_broadcast(
             px = pdf["lon"].to_numpy(np.int64)
             cy = py >> gshift
             cx = px >> gshift
-            out_id, out_lv, out_b = [], [], []
-            # group points by cell, vectorized winding per candidate
+            # Phase 1 (cheap, index-only): per cell group, append the
+            # group's point indices to each candidate boundary's list.
+            # Phase 2 (vectorized): ONE bbox mask + winding test per
+            # boundary over its concatenated candidates — the numpy
+            # call count is O(boundaries present), not
+            # O(cells x candidates) as a per-cell refine would be.
             order = np.lexsort((cx, cy))
             scy, scx = cy[order], cx[order]
             breaks = np.flatnonzero((np.diff(scy) != 0) | (np.diff(scx) != 0)) + 1
+            per_bound: dict[int, list[np.ndarray]] = {}
             for seg in np.split(order, breaks):
                 key = (int(cy[seg[0]]), int(cx[seg[0]]))
                 cands = cell_idx.get(key)
                 if not cands:
                     continue
-                sy, sx = py[seg], px[seg]
                 for bi in cands:
-                    b = prepped[bi]
-                    y0, x0, y1, x1 = b["bbox"]
-                    m = (sy >= y0) & (sy <= y1) & (sx >= x0) & (sx <= x1)
-                    if not m.any():
-                        continue
-                    inside = points_in_polygon(sy[m], sx[m], b["rings"])
-                    hit = seg[m][inside]
-                    out_id.extend(ids[hit].tolist())
-                    out_lv.extend([b["admin_level"]] * len(hit))
-                    out_b.extend([bi] * len(hit))
+                    per_bound.setdefault(bi, []).append(seg)
+            out_id, out_lv, out_b = [], [], []
+            for bi, segs in per_bound.items():
+                b = prepped[bi]
+                idxs = segs[0] if len(segs) == 1 else np.concatenate(segs)
+                sy, sx = py[idxs], px[idxs]
+                y0, x0, y1, x1 = b["bbox"]
+                m = (sy >= y0) & (sy <= y1) & (sx >= x0) & (sx <= x1)
+                if not m.any():
+                    continue
+                inside = points_in_polygon(sy[m], sx[m], b["rings"])
+                hit = idxs[m][inside]
+                out_id.extend(ids[hit].tolist())
+                out_lv.extend([b["admin_level"]] * len(hit))
+                out_b.extend([bi] * len(hit))
             yield pd.DataFrame({"id": out_id, "admin_level": out_lv, "bi": out_b})
 
     pts = points.select(
@@ -141,7 +173,7 @@ def pip_join_broadcast(
     attrs = spark.createDataFrame(
         pd.DataFrame(
             {
-                "bi": np.arange(len(prepped), dtype=np.int32),
+                "bi": np.arange(n_bounds, dtype=np.int32),
                 "boundary_id": [b["boundary_id"] for b in prepped],
                 "name": [b["name"] for b in prepped],
                 "postcode": [b["postcode"] for b in prepped],
@@ -159,7 +191,7 @@ def pip_join_broadcast(
     )
 
 
-def pip_join_shuffle(
+def pip_shuffle_candidates(
     points: DataFrame,
     boundaries: DataFrame,
     gshift: int = 16,
@@ -167,30 +199,24 @@ def pip_join_shuffle(
     lat_col: str = "ay",
     lon_col: str = "ax",
 ) -> DataFrame:
-    """Shuffle PIP join for boundary sets too large to broadcast.
+    """Candidate stage of the shuffle PIP join — geometry-free.
 
-    Boundaries explode to bbox cover cells (done JVM-side with
-    sequence() over the cell ranges); points shuffle on cell id; the
-    winding refine runs once per (boundary, cell) group.
+    Returns (boundary_id, by, bx, pts) where pts is a bounded array of
+    candidate (id, lat, lon) structs per (boundary, cell block).  The
+    cell-cover explode and the point shuffle carry ONLY
+    (boundary_id, cy, cx) — no ring arrays — so a polygon covering many
+    cells does not amplify its geometry through the exchange.
     """
+    g = gshift
     b = boundaries.select(
         "boundary_id",
-        "admin_level",
-        "name",
-        "postcode",
-        "rings",
         F.expr("aggregate(filter(rings, r -> not r.is_hole), cast(2147483647 as int), (acc, r) -> least(acc, array_min(r.lats)))").alias("_y0"),
         F.expr("aggregate(filter(rings, r -> not r.is_hole), cast(-2147483648 as int), (acc, r) -> greatest(acc, array_max(r.lats)))").alias("_y1"),
         F.expr("aggregate(filter(rings, r -> not r.is_hole), cast(2147483647 as int), (acc, r) -> least(acc, array_min(r.lons)))").alias("_x0"),
         F.expr("aggregate(filter(rings, r -> not r.is_hole), cast(-2147483648 as int), (acc, r) -> greatest(acc, array_max(r.lons)))").alias("_x1"),
     )
-    g = gshift
     cover = b.select(
         "boundary_id",
-        "admin_level",
-        "name",
-        "postcode",
-        "rings",
         F.explode(
             F.expr(
                 f"flatten(transform(sequence(shiftright(_y0, {g}), shiftright(_y1, {g})), "
@@ -198,7 +224,7 @@ def pip_join_shuffle(
                 f"cx -> struct(cy as cy, cx as cx))))"
             )
         ).alias("c"),
-    ).select("boundary_id", "admin_level", "name", "postcode", "rings", "c.cy", "c.cx")
+    ).select("boundary_id", "c.cy", "c.cx")
 
     pts = points.select(
         F.col(id_col).alias("id"),
@@ -209,24 +235,70 @@ def pip_join_shuffle(
     )
 
     paired = pts.join(cover, ["cy", "cx"])
+    return paired.groupBy(
+        "boundary_id",
+        F.shiftright(F.col("cy"), BLOCK_SHIFT).alias("by"),
+        F.shiftright(F.col("cx"), BLOCK_SHIFT).alias("bx"),
+    ).agg(F.collect_list(F.struct("id", "lat", "lon")).alias("pts"))
 
-    def refine(key, pdf):
-        rings_raw = pdf["rings"].iloc[0]
-        rings = [
-            (
-                np.asarray(r["lats"], dtype=np.int64),
-                np.asarray(r["lons"], dtype=np.int64),
-                bool(r["is_hole"]),
-            )
-            for r in rings_raw
-        ]
-        py = pdf["lat"].to_numpy(np.int64)
-        px = pdf["lon"].to_numpy(np.int64)
-        inside = points_in_polygon(py, px, rings)
-        sub = pdf.loc[inside, ["id", "admin_level", "boundary_id", "name", "postcode"]]
-        return sub
 
-    refined = paired.groupBy("boundary_id", "cy", "cx").applyInPandas(
+def pip_join_shuffle(
+    points: DataFrame,
+    boundaries: DataFrame,
+    gshift: int = 16,
+    id_col: str = "id",
+    lat_col: str = "ay",
+    lon_col: str = "ax",
+) -> DataFrame:
+    """Shuffle PIP join for boundary sets too large to broadcast.
+
+    Three stages: (1) geometry-free cell-keyed candidate join
+    (``pip_shuffle_candidates``), (2) ring geometry joined in once per
+    (boundary, cell block), (3) one vectorized winding refine per
+    candidate batch.
+    """
+    cand = pip_shuffle_candidates(
+        points, boundaries, gshift=gshift, id_col=id_col, lat_col=lat_col, lon_col=lon_col
+    )
+    withgeo = cand.join(
+        boundaries.select("boundary_id", "admin_level", "name", "postcode", "rings"),
+        "boundary_id",
+    )
+
+    def refine(it):
+        for pdf in it:
+            outs = []
+            for row in pdf.itertuples():
+                rings = [
+                    (
+                        np.asarray(r["lats"], dtype=np.int64),
+                        np.asarray(r["lons"], dtype=np.int64),
+                        bool(r["is_hole"]),
+                    )
+                    for r in row.rings
+                ]
+                cpts = row.pts
+                py = np.fromiter((p["lat"] for p in cpts), dtype=np.int64, count=len(cpts))
+                px = np.fromiter((p["lon"] for p in cpts), dtype=np.int64, count=len(cpts))
+                inside = points_in_polygon(py, px, rings)
+                if not inside.any():
+                    continue
+                hit = np.flatnonzero(inside)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id": [int(cpts[i]["id"]) for i in hit],
+                            "admin_level": row.admin_level,
+                            "boundary_id": row.boundary_id,
+                            "name": row.name,
+                            "postcode": row.postcode,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    refined = withgeo.mapInPandas(
         refine,
         "id long, admin_level int, boundary_id string, name string, postcode string",
     )

@@ -27,8 +27,17 @@ from ..functions.geometry import segments_intersect
 def explode_segments(ways: DataFrame, id_col: str = "id", gshift: int = 14) -> DataFrame:
     """ways(id, lats, lons) -> one row per segment per cover cell.
 
-    All JVM-side: arrays_zip + posexplode + sequence() over the cell
-    span of each segment's bbox.
+    All JVM-side: arrays_zip + posexplode + a supercover line
+    rasterization over the cell grid.  For each cell row (cy) the
+    segment passes through, the segment is clipped to that horizontal
+    band and only the cells in the band's x-extent are emitted — the
+    fanout of a diagonal segment is O(cells along the line), not the
+    O(bbox area) a naive bbox cover explode would produce (a random
+    long segment covers ~N^2 bbox cells but crosses only ~2N).  The
+    interpolation runs in doubles with a +-1 map-unit margin before
+    the cell shift, so float rounding can only ADD a neighbouring
+    candidate cell (removed by the exact refine), never drop the cell
+    containing a true crossing.
     """
     segs = ways.select(
         F.col(id_col).alias("id"),
@@ -48,20 +57,50 @@ def explode_segments(ways: DataFrame, id_col: str = "id", gshift: int = 14) -> D
         F.expr("lons[pos + 1]").alias("x2"),
     )
     g = gshift
-    return segs.select(
+    # orient the segment so ys <= ye, then per band cy in
+    # [ys>>g, ye>>g]: clip to the band's y-interval, interpolate the
+    # two clipped x endpoints, widen by 1 unit each way, clamp to the
+    # segment's overall x cell span.
+    oriented = segs.select(
         "id",
         "pos",
         "y1",
         "x1",
         "y2",
         "x2",
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(shiftright(least(y1, y2), {g}), shiftright(greatest(y1, y2), {g})),"
-                f" cy -> transform(sequence(shiftright(least(x1, x2), {g}), shiftright(greatest(x1, x2), {g})),"
-                f" cx -> struct(cy as cy, cx as cx))))"
-            )
-        ).alias("c"),
+        F.expr("if(y1 <= y2, cast(y1 as bigint), cast(y2 as bigint))").alias("ys"),
+        F.expr("if(y1 <= y2, cast(y2 as bigint), cast(y1 as bigint))").alias("ye"),
+        F.expr("if(y1 <= y2, cast(x1 as bigint), cast(x2 as bigint))").alias("xs"),
+        F.expr("if(y1 <= y2, cast(x2 as bigint), cast(x1 as bigint))").alias("xe"),
+    )
+    band_cells = (
+        f"flatten(transform(sequence(shiftright(ys, {g}), shiftright(ye, {g})), cy -> "
+        # band y-interval clipped to the segment
+        f"transform(sequence("
+        f"  greatest(shiftright(least(cast(x1 as bigint), cast(x2 as bigint)), {g}),"
+        f"           shiftright(cast(floor(least("
+        f"             if(ye = ys, cast(least(x1, x2) as double),"
+        f"                xs + (xe - xs) * cast(greatest(ys, shiftleft(cy, {g})) - ys as double) / (ye - ys)),"
+        f"             if(ye = ys, cast(least(x1, x2) as double),"
+        f"                xs + (xe - xs) * cast(least(ye, shiftleft(cy + 1, {g})) - ys as double) / (ye - ys))"
+        f"           )) as bigint) - 1, {g})),"
+        f"  least(shiftright(greatest(cast(x1 as bigint), cast(x2 as bigint)), {g}),"
+        f"        shiftright(cast(ceil(greatest("
+        f"             if(ye = ys, cast(greatest(x1, x2) as double),"
+        f"                xs + (xe - xs) * cast(greatest(ys, shiftleft(cy, {g})) - ys as double) / (ye - ys)),"
+        f"             if(ye = ys, cast(greatest(x1, x2) as double),"
+        f"                xs + (xe - xs) * cast(least(ye, shiftleft(cy + 1, {g})) - ys as double) / (ye - ys))"
+        f"           )) as bigint) + 1, {g}))"
+        f"), cx -> struct(cy as cy, cx as cx))))"
+    )
+    return oriented.select(
+        "id",
+        "pos",
+        "y1",
+        "x1",
+        "y2",
+        "x2",
+        F.explode(F.expr(band_cells)).alias("c"),
     ).select("id", "pos", "y1", "x1", "y2", "x2", "c.cy", "c.cx")
 
 

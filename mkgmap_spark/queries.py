@@ -659,10 +659,11 @@ def q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_hole": True,
         }
         rows.append((f"r{k}", 2, r.r_name, f"RP{k}", [outer, hole]))
-    boundaries = spark.createDataFrame(
-        rows,
-        "boundary_id string, admin_level int, name string, postcode string, "
-        "rings array<struct<lats: array<int>, lons: array<int>, is_hole: boolean>>",
+    # driver-side pandas boundaries: skips the createDataFrame ->
+    # toPandas round trip (nested-struct Arrow collect alone costs
+    # seconds on a cold session)
+    boundaries = pd.DataFrame(
+        rows, columns=["boundary_id", "admin_level", "name", "postcode", "rings"]
     )
     out = pip_join_broadcast(cust, boundaries, gshift=20)
     return out.select(

@@ -44,6 +44,66 @@ def test_segment_join_cross_cell(spark):
     assert got == 1
 
 
+def test_segment_join_rasterized_cover(spark):
+    """The band-clipped supercover must not drop cells for long
+    near-horizontal / near-vertical segments whose band crossing falls
+    mid-segment, and must bound fanout to the cells along the line
+    (not the bbox area) for long diagonals."""
+    import random
+
+    from mkgmap_spark.functions.geometry import segments_intersect
+    from mkgmap_spark.operators.segment_join import (
+        explode_segments,
+        segment_intersection_join,
+    )
+
+    g = 14
+    b = 1 << g
+    # near-horizontal segment rising 1 unit across 40 cells, crossing a
+    # band boundary mid-way; vertical probes at several x positions
+    left = spark.createDataFrame(
+        [(1, [b - 1, b + 1], [0, 40 * b])], "id long, lats array<int>, lons array<int>"
+    )
+    right = spark.createDataFrame(
+        [(k, [b - 10, b + 10], [k * b + 17, k * b + 17]) for k in range(1, 40, 7)],
+        "id long, lats array<int>, lons array<int>",
+    )
+    got = {r["right_id"] for r in segment_intersection_join(left, right, gshift=g).collect()}
+    assert got == set(range(1, 40, 7))
+
+    # randomized parity vs brute force + fanout bound for diagonals
+    rng = random.Random(7)
+    lw = [(i, [rng.randrange(-300000, 300000), rng.randrange(-300000, 300000)],
+           [rng.randrange(-300000, 300000), rng.randrange(-300000, 300000)]) for i in range(25)]
+    rw = [(i, [rng.randrange(-300000, 300000), rng.randrange(-300000, 300000)],
+           [rng.randrange(-300000, 300000), rng.randrange(-300000, 300000)]) for i in range(25)]
+    ldf = spark.createDataFrame(lw, "id long, lats array<int>, lons array<int>")
+    rdf = spark.createDataFrame(rw, "id long, lats array<int>, lons array<int>")
+    got = {(r["left_id"], r["right_id"])
+           for r in segment_intersection_join(ldf, rdf, gshift=g).collect()}
+    import numpy as np
+
+    want = set()
+    for li, llat, llon in lw:
+        for ri, rlat, rlon in rw:
+            hit = segments_intersect(
+                np.array([llat[0]]), np.array([llon[0]]), np.array([llat[1]]), np.array([llon[1]]),
+                np.array([rlat[0]]), np.array([rlon[0]]), np.array([rlat[1]]), np.array([rlon[1]]),
+            )
+            if hit[0]:
+                want.add((li, ri))
+    assert got == want
+
+    # fanout: a pure diagonal over N x N cells must emit O(N) rows
+    n_cells = 32
+    diag = spark.createDataFrame(
+        [(1, [0, n_cells * b - 1], [0, n_cells * b - 1])],
+        "id long, lats array<int>, lons array<int>",
+    )
+    fan = explode_segments(diag, gshift=g).count()
+    assert fan <= 4 * n_cells, f"diagonal fanout {fan} should be linear, not {n_cells ** 2}"
+
+
 # ---------------------------------------------------------------- merge
 def test_merge_lines_chains(spark):
     from mkgmap_spark.operators.merge import merge_lines

@@ -68,6 +68,31 @@ def test_pip_hole_semantics(spark, pip_inputs):
     assert lvl8, "fixture should place some points inside level-8 towns"
 
 
+def test_pip_shuffle_candidates_geometry_free(spark, pip_inputs):
+    """The shuffle path's exchanged candidate rows must not carry ring
+    geometry: a polygon covering 10^4 cells must not duplicate its
+    coordinate arrays per cell through the shuffle.  Rings are joined
+    in once per (boundary, cell block) after candidate aggregation."""
+    from mkgmap_spark.operators.pip_join import pip_shuffle_candidates
+
+    pts, boundaries, want = pip_inputs
+    cand = pip_shuffle_candidates(pts, boundaries)
+    assert "rings" not in cand.columns
+    # candidate batch rows: one per (boundary, block), point structs only
+    assert set(cand.columns) == {"boundary_id", "by", "bx", "pts"}
+    pt_fields = {f.name for f in cand.schema["pts"].dataType.elementType.fields}
+    assert pt_fields == {"id", "lat", "lon"}
+
+
+def test_pip_broadcast_accepts_pandas_boundaries(spark, pip_inputs):
+    """Driver-synthesized boundary sets pass as pandas directly —
+    identical result, no createDataFrame -> toPandas round trip."""
+    pts, boundaries, want = pip_inputs
+    b_pd = boundaries.toPandas()
+    got = _got(pip_join_broadcast(pts, b_pd))
+    assert got == want
+
+
 def test_pip_join_dispatch(spark):
     """The dispatcher picks broadcast for bounded boundary sets and
     shuffle above the threshold; results identical either way."""
