@@ -91,16 +91,28 @@ def _find_bridge_vertex(oy: np.ndarray, ox: np.ndarray, my: int, mx: int) -> int
             best_p = i if ox[i] >= ox[j] else j
     if best_p < 0:
         raise ValueError("hole ray found no intersection — hole outside ring?")
-    # visibility repair: vertices strictly inside triangle (M, I, P)
+    # visibility repair (Eberly §5 step 5): only REFLEX ring vertices
+    # inside triangle (M, I, P) can block the M->P bridge; among them
+    # take the one with the smallest angle to the ray, compared with
+    # exact integer cross-multiplication (|dy_a|/dx_a < |dy_b|/dx_b iff
+    # |dy_a|*dx_b < |dy_b|*dx_a), ties broken by the smaller dx
+    # (closest to M), then by index for determinism.
+    prev_y, prev_x = np.roll(oy, 1), np.roll(ox, 1)
+    next_y, next_x = np.roll(oy, -1), np.roll(ox, -1)
+    # ring is CCW at this point: reflex iff cross(prev->v, v->next) < 0
+    reflex = (
+        (ox - prev_x) * (next_y - oy) - (oy - prev_y) * (next_x - ox)
+    ) < 0
     px, py = int(ox[best_p]), int(oy[best_p])
     ix = best_ix
     cand = best_p
-    best_metric = None
+    best_dy = best_dx = None
     for k in range(n):
-        if k == best_p:
+        if k == best_p or not reflex[k]:
             continue
         vx, vy = int(ox[k]), int(oy[k])
-        if vx < mx:
+        dx = vx - mx
+        if dx <= 0:
             continue
         # inside triangle M(mx,my), I(ix,my), P(px,py)? (loose test:
         # sign of areas; degenerate triangles skip)
@@ -114,13 +126,13 @@ def _find_bridge_vertex(oy: np.ndarray, ox: np.ndarray, my: int, mx: int) -> int
         pos = (d1 > 0) or (d2 > 0) or (d3 > 0)
         if neg and pos:
             continue  # outside
-        # angle metric: |dy| / dx from the ray (smaller = closer to ray)
-        dx = vx - mx
-        if dx <= 0:
-            continue
-        metric = (abs(vy - my), -vx)
-        if best_metric is None or metric < best_metric:
-            best_metric = metric
+        dy = abs(vy - my)
+        if (
+            best_dy is None
+            or dy * best_dx < best_dy * dx  # strictly smaller angle
+            or (dy * best_dx == best_dy * dx and dx < best_dx)
+        ):
+            best_dy, best_dx = dy, dx
             cand = k
     return cand
 

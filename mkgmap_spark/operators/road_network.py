@@ -11,9 +11,14 @@ operator emits the graph AS TABLES.
 Spark form, all Column work:
 
 - posexplode the packed coord arrays once;
-- junction detection = groupBy(coord) count >= 2 — the usage-count
-  re-expression (distinct ways per coord, not raw point count, so a
-  way revisiting its own point does not fabricate a junction);
+- junction detection = groupBy(coord) RAW appearance count >= 2, the
+  faithful usage-count re-expression: StyledConverter.java:2014-2016
+  increments the highway count once per appearance of every point of
+  every way, and self-intersecting ways are split at the revisited
+  point (addRoadAfterSplittingLoops) — so a P-shaped loop road DOES
+  get a node and an arc split where it crosses itself, same as the
+  reference (consecutive duplicate coords are assumed already merged
+  upstream, the RemoveEmpty/coord-merge contract);
 - arc segmentation = per-way prefix count of node marks (window
   PARTITIONED by way id — never a global window) assigns every
   segment to its arc; groupBy(way, arc) folds the arc's endpoints,
@@ -49,11 +54,14 @@ def road_network(roads: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("_p.lats").alias("y"), F.col("_p.lons").alias("x"),
     )
 
-    # junctions: coords used by >= 2 DISTINCT ways
+    # junctions: coords with >= 2 raw appearances — shared between
+    # ways OR revisited by one way (loop roads split like the
+    # reference); n_ways (distinct) is kept for the node table.
     usage = pts.groupBy("y", "x").agg(
-        F.countDistinct("way_id").alias("n_ways")
+        F.count(F.lit(1)).alias("n_uses"),
+        F.countDistinct("way_id").alias("n_ways"),
     )
-    junctions = usage.filter(F.col("n_ways") >= 2)
+    junctions = usage.filter(F.col("n_uses") >= 2).drop("n_uses")
 
     marked = pts.join(
         junctions.select("y", "x", F.lit(True).alias("_junction")),
@@ -110,7 +118,7 @@ def road_network(roads: DataFrame) -> tuple[DataFrame, DataFrame]:
     # node table: junctions plus way endpoints
     ends = pts.filter((F.col("pos") == 0) | (F.col("pos") == F.col("_n") - 1)).select("y", "x")
     nodes = (
-        usage.join(ends.distinct(), ["y", "x"], "left_semi")
+        usage.drop("n_uses").join(ends.distinct(), ["y", "x"], "left_semi")
         .unionByName(junctions)
         .dropDuplicates(["y", "x"])
         .select(F.col("y").alias("node_y"), F.col("x").alias("node_x"), "n_ways")

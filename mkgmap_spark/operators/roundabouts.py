@@ -19,7 +19,9 @@ aggregate() per ring for the vote, one global aggregate for the side
 counts.  ``planar=True`` replaces the trigonometric trust window with
 the exact-integer cross-product sign (every ring segment votes unless
 degenerate): bit-reproducible in any engine, used by the driver
-oracle; the default path keeps the reference's bearing windows.
+oracle; the default path keeps the reference's bearing windows AND
+its 2.5 m segment/centre distance skip (the planar path deliberately
+omits the skip — its exact votes are noise-free by construction).
 """
 
 from __future__ import annotations
@@ -30,6 +32,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _MU = 2.0 * math.pi / (1 << 24)
+# metres per map unit at the equator: Coord.U / 2^24 with
+# U = 2*pi*R, R = 6378137 (WGS84, Coord.java:60-61)
+_M_PER_UNIT = 2.0 * math.pi * 6378137.0 / (1 << 24)
+# checkRoundabout skips segments where pi.distance(centre) <= 2.5 m or
+# pi.distance(pi1) <= 2.5 m (StyledConverter.java:983); squared
+# threshold in map-unit^2 for the equirect distance
+_MIN_D2_UNITS = (2.5 / _M_PER_UNIT) ** 2
 
 
 def check_roundabouts(
@@ -64,9 +73,23 @@ def check_roundabouts(
         a = bear("lats[i]", "lons[i]", "lats[i+1]", "lons[i+1]")
         b = bear("lats[i]", "lons[i]", "_cy", "_cx")
         diff = f"(pmod({b} - ({a}) + 180D, 360D) - 180D)"
+
+        # segment/centre 2.5 m guards (StyledConverter.java:983):
+        # equirect squared distance in map units, cos at the segment
+        # start like Coord.distance's flat-earth approximation
+        def d2(y2, x2):
+            return (
+                f"(pow(cast({y2} - lats[i] as double), 2D) + "
+                f"pow(cast({x2} - lons[i] as double) * cos(cast(lats[i] as double) * {_MU!r}), 2D))"
+            )
+
+        guard = (
+            f"({d2('_cy', '_cx')} > {_MIN_D2_UNITS!r} and "
+            f"{d2('lats[i+1]', 'lons[i+1]')} > {_MIN_D2_UNITS!r})"
+        )
         vote = (
-            f"if({diff} >= 15D and {diff} < 165D, 1, "
-            f"if({diff} <= -15D and {diff} > -165D, -1, 0))"
+            f"if({guard}, if({diff} >= 15D and {diff} < 165D, 1, "
+            f"if({diff} <= -15D and {diff} > -165D, -1, 0)), 0)"
         )
 
     # every third segment (i += 3, checkRoundabout:977)

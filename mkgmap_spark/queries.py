@@ -1856,9 +1856,9 @@ def _road_network_oracle_sql() -> str:
 WITH pts AS (
   {selects}
 ), usage AS (
-  SELECT y, x, COUNT(DISTINCT way_id) AS nw FROM pts GROUP BY 1, 2
+  SELECT y, x, COUNT(*) AS uses FROM pts GROUP BY 1, 2
 ), marked AS (
-  SELECT p.*, (p.pos = 0 OR p.pos = 2 OR u.nw >= 2) AS is_node
+  SELECT p.*, (p.pos = 0 OR p.pos = 2 OR u.uses >= 2) AS is_node
   FROM pts p JOIN usage u USING (y, x)
 ), seg AS (
   SELECT way_id, pos, y, x, road_class, road_speed,

@@ -616,6 +616,15 @@ def compile_rules(
     Adds ``results`` (emitted gtypes in order, with routing attrs) and
     ``tags_out`` (final persistent tag state); with ``with_pushed``
     also ``pushed`` (apply-action snapshots for the member executor).
+
+    SESSION-WIDE SIDE EFFECT: sets ``spark.sql.mapKeyDedupPolicy`` to
+    ``LAST_WIN`` on the calling session and does NOT restore it —
+    the compiled plan relies on last-writer-wins ``map_concat`` at
+    EXECUTION time (whenever the returned DataFrame is acted on), so a
+    scoped save/restore around this call would break the plan.  Any
+    unrelated code in the same session that relied on the default
+    EXCEPTION policy to trap duplicate map keys will silently switch
+    to last-writer-wins after the first compile.
     """
     spark = df.sparkSession
     # map_concat-based tag updates rely on last-writer-wins key dedup.

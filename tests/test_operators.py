@@ -738,7 +738,9 @@ def test_embedding_near_dups(spark):
 def test_road_network_graph(spark):
     """Junction + arc extraction (RoadNetwork.addRoad semantics):
     shared coords split ways into arcs; endpoints are always nodes;
-    a way revisiting its own point is NOT a junction."""
+    a way revisiting its own point IS a junction (the reference splits
+    self-intersecting ways at the revisited point,
+    StyledConverter.addRoadAfterSplittingLoops)."""
     from mkgmap_spark.operators.road_network import road_network
 
     roads = spark.createDataFrame(
@@ -746,8 +748,12 @@ def test_road_network_graph(spark):
             # way 1: passes through (5,5), which way 2 also uses -> split
             (1, [0, 5, 9], [0, 5, 9], 3, 4),
             (2, [5, 5], [5, 20], 2, 2),
-            # way 3: self-revisit of (50,50) alone must NOT split
+            # way 3: closed loop — revisit coincides with the endpoints,
+            # already nodes, so still one arc
             (3, [50, 60, 50], [50, 60, 50], 1, 1),
+            # way 4: P-shaped loop A-B-C-B-D — interior revisit of
+            # (110,110) must split into 3 arcs like the reference
+            (4, [100, 110, 120, 110, 140], [100, 110, 120, 110, 140], 2, 3),
         ],
         "id long, lats array<int>, lons array<int>, road_class int, road_speed int",
     )
@@ -762,12 +768,19 @@ def test_road_network_graph(spark):
     assert a0["road_class"] == 3
     # way 2: single arc
     assert arc_rows[(2, 0)]["cost"] == 15
-    # way 3: one arc spanning all 3 points (revisit is not a junction)
+    # way 3: one arc spanning all 3 points (revisit == endpoints)
     assert set(k for k in arc_rows if k[0] == 3) == {(3, 0)}
     assert arc_rows[(3, 0)]["n_points"] == 3
+    # way 4: interior self-revisit splits: A-B, B-C-B, B-D
+    assert set(k for k in arc_rows if k[0] == 4) == {(4, 0), (4, 1), (4, 2)}
+    b0, b1, b2 = arc_rows[(4, 0)], arc_rows[(4, 1)], arc_rows[(4, 2)]
+    assert (b0["from_y"], b0["to_y"]) == (100, 110)
+    assert (b1["from_y"], b1["to_y"]) == (110, 110) and b1["n_points"] == 3
+    assert (b2["from_y"], b2["to_y"]) == (110, 140)
     nd = {(r["node_y"], r["node_x"]) for r in nodes.collect()}
     assert (5, 5) in nd and (0, 0) in nd and (9, 9) in nd
-    assert (60, 60) not in nd  # interior non-junction
+    assert (110, 110) in nd  # loop junction
+    assert (60, 60) not in nd and (120, 120) not in nd  # interior non-junctions
 
 
 def test_roundabout_check_and_drive_side(spark):
@@ -793,6 +806,19 @@ def test_roundabout_check_and_drive_side(spark):
         assert out[1]["clockwise"] is True and out[2]["clockwise"] is False, planar
         assert out[1]["wrong_direction"] is True  # drive-on-right wants CCW
         assert out[2]["wrong_direction"] is False
+
+    # 2.5 m guard (StyledConverter.java:983): a ring hugging its
+    # centre (all starts < 2.5 m from centre) must produce ZERO trig
+    # votes — the planar path still votes (exact, guard-free)
+    tiny = [(1, 0), (0, 1), (-1, 0), (0, -1), (1, 0)]
+    tiny_df = spark.createDataFrame(
+        [(9, [p[0] for p in tiny], [p[1] for p in tiny])],
+        "id long, lats array<int>, lons array<int>",
+    )
+    trig = check_roundabouts(tiny_df, drive_on_left=False, planar=False).collect()[0]
+    assert trig["dir_votes"] == 0 and trig["wrong_direction"] is False
+    exact = check_roundabouts(tiny_df, drive_on_left=False, planar=True).collect()[0]
+    assert exact["dir_votes"] != 0
 
     roads = spark.createDataFrame(
         [(1, "left"), (2, "left"), (3, "right"), (4, None)],

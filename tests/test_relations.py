@@ -155,10 +155,12 @@ def test_cut_out_inner_polygons_randomized():
     from mkgmap_spark.functions.holes import cut_out_inner_polygons
 
     rng = np.random.RandomState(11)
-    for trial in range(12):
-        nv = rng.randint(6, 14)
+    for trial in range(40):
+        nv = rng.randint(6, 18)
         ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
-        rad = rng.randint(400, 1000, nv)
+        # wide radius spread -> deep spikes -> strong reflex vertices,
+        # so the visibility-repair path is exercised often
+        rad = rng.randint(150, 1000, nv)
         oy = (np.cos(ang) * rad).astype(np.int64)
         ox = (np.sin(ang) * rad).astype(np.int64)
         holes = []
