@@ -24,8 +24,192 @@ left/right definition HousenumberGenerator uses.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# metres per degree at the equator: Coord.U / 360 (Coord.java:60-61)
+_M_PER_DEG = 2.0 * math.pi * 6378137.0 / 360.0
+# degrees per 24-bit map unit
+_DEG_PER_UNIT = 360.0 / (1 << 24)
+_RAD_PER_DEG = math.pi / 180.0
+
+
+def interpolate_housenumbers(
+    interp_ways: DataFrame,
+    addr_nodes: DataFrame,
+    metric: str = "equirect",
+) -> DataFrame:
+    """Synthesize intermediate house nodes along ``addr:interpolation``
+    ways (HousenumberGenerator.interpretInterpolationWay:342-438 +
+    HousenumberIvl.calcSteps:103 / getInterpolatedPoints:371-418).
+
+    interp_ways: (way_id, method, lats, lons) — method is the
+    addr:interpolation value; addr_nodes: (node_id, number, street,
+    y, x) — addressed nodes; membership is by exact coordinate match
+    against the way's points (the table re-expression of the hook's
+    node-id list, HousenumberHooks.mkgmapNodeIdsTagKey).
+
+    Semantics carried over:
+    - method all/1 -> step 1; even/odd/2 -> step 2; others ignored;
+    - consecutive addressed-node pairs along the way with the SAME
+      non-null street form intervals; steps = |end-start|/step - 1
+      synthesized numbers per interval (calcSteps);
+    - different street names between intervals reject the WHOLE way,
+      as does an even/odd method with a wrong-parity endpoint
+      (interpretInterpolationWay returns before registering any
+      interval in both cases);
+    - houses are spaced evenly ALONG the sub-polyline between the
+      pair: interval length = polyline length / (steps+1), walking
+      segments (getInterpolatedPoints); an interval shorter than
+      0.1 m generates nothing;
+    - numbers run start + k*step towards end.
+
+    ``metric``: 'equirect' (default) measures segment lengths in
+    metres with the reference's flat-earth formula (U/360 * sqrt in
+    degrees, cos of mean latitude — Coord.distanceInDegreesSquared);
+    'planar' measures in raw map units (bit-stable across engines,
+    used by the SQL-oracled driver query; the 0.1 m guard then
+    applies in map units, i.e. effectively off).
+
+    Divergence (documented): interpolated coords round to 24-bit map
+    units directly instead of the reference's 30-bit high-precision
+    intermediate (makeBetweenPoint); positions can differ by <= half
+    a map unit.
+
+    Output: (way_id, pair_idx, number, street, lat, lon,
+    interpolated=true) — one row per synthesized house, ready to
+    union with real houses ahead of the kNN road match.
+    """
+    step_expr = (
+        "CASE method WHEN 'all' THEN 1 WHEN '1' THEN 1 "
+        "WHEN 'even' THEN 2 WHEN 'odd' THEN 2 WHEN '2' THEN 2 ELSE 0 END"
+    )
+    ways = interp_ways.withColumn("step", F.expr(step_expr)).filter(F.col("step") > 0)
+
+    # addressed nodes located on the way, ordered by point position
+    pts = ways.select(
+        "way_id",
+        F.posexplode(F.arrays_zip("lats", "lons")).alias("pos", "_p"),
+    ).select("way_id", "pos", F.col("_p.lats").alias("y"), F.col("_p.lons").alias("x"))
+    on_way = pts.join(
+        addr_nodes.select(
+            F.col("y").alias("ny"), F.col("x").alias("nx"), "number", "street"
+        ),
+        (F.col("y") == F.col("ny")) & (F.col("x") == F.col("nx")),
+    )
+    seqs = on_way.groupBy("way_id").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "number", "street"))).alias("hn")
+    )
+    d = ways.join(seqs, "way_id")
+
+    # eligible pairs: consecutive addressed nodes sharing a non-null street
+    pairs_expr = (
+        "filter(transform(sequence(0, size(hn) - 2), i -> named_struct("
+        "'pos1', hn[i].pos, 'pos2', hn[i + 1].pos, "
+        "'start', hn[i].number, 'end', hn[i + 1].number, "
+        "'street', hn[i].street, 'street2', hn[i + 1].street)), "
+        "p -> p.pos2 > p.pos1 and p.street is not null and p.street2 is not null "
+        "and p.street = p.street2)"
+    )
+    d = d.withColumn("_pairs", F.expr(pairs_expr)).filter(F.expr("size(_pairs) > 0"))
+
+    # whole-way rejections (interpretInterpolationWay's early returns)
+    one_street = "size(array_distinct(transform(_pairs, p -> p.street))) <= 1"
+    parity_ok = (
+        "not (method = 'even' and exists(_pairs, p -> p.start % 2 != 0 or p.end % 2 != 0)) "
+        "and not (method = 'odd' and exists(_pairs, p -> p.start % 2 = 0 or p.end % 2 = 0))"
+    )
+    d = d.filter(F.expr(one_street)).filter(F.expr(parity_ok))
+
+    pair = d.select(
+        "way_id",
+        "step",
+        "lats",
+        "lons",
+        F.posexplode("_pairs").alias("pair_idx", "p"),
+    ).select(
+        "way_id",
+        "pair_idx",
+        "step",
+        "lats",
+        "lons",
+        F.col("p.pos1").alias("pos1"),
+        F.col("p.pos2").alias("pos2"),
+        F.col("p.start").alias("start"),
+        F.col("p.end").alias("end"),
+        F.col("p.street").alias("street"),
+    )
+    pair = pair.withColumn(
+        "steps", F.expr("cast(abs(end - start) / step as int) - 1")
+    ).filter(F.col("steps") >= 1)
+
+    # segment length i -> i+1 (0-based within pos1..pos2-1)
+    if metric == "planar":
+        seglen = (
+            "sqrt(pow(cast(lats[pos1 + j + 1] - lats[pos1 + j] as double), 2D) + "
+            "pow(cast(lons[pos1 + j + 1] - lons[pos1 + j] as double), 2D))"
+        )
+        min_ivl = 0.0
+    else:
+        dlat = f"(cast(lats[pos1 + j + 1] - lats[pos1 + j] as double) * {_DEG_PER_UNIT!r})"
+        dlon = f"(cast(lons[pos1 + j + 1] - lons[pos1 + j] as double) * {_DEG_PER_UNIT!r})"
+        cosavg = (
+            f"cos({_RAD_PER_DEG!r} * abs(cast(lats[pos1 + j] + lats[pos1 + j + 1] as double)"
+            f" * {_DEG_PER_UNIT!r} / 2D))"
+        )
+        seglen = f"({_M_PER_DEG!r} * sqrt(pow({dlat}, 2D) + pow({dlon} * {cosavg}, 2D)))"
+        min_ivl = 0.1
+
+    # cumulative lengths: cum[1] = 0, cum[j+2] = length through segment j
+    cum = (
+        f"aggregate(sequence(0, pos2 - pos1 - 1), array(0D), "
+        f"(acc, j) -> acc || array(element_at(acc, -1) + {seglen}))"
+    )
+    pair = pair.withColumn("_cum", F.expr(cum)).withColumn(
+        "_ivl", F.expr("element_at(_cum, -1) / (steps + 1)")
+    )
+    if min_ivl > 0:
+        pair = pair.filter(F.col("_ivl") >= min_ivl)
+
+    # per k: distance k*_ivl -> segment j (first with cum end >= d),
+    # linear interpolation inside it; usedStep signs towards `end`
+    houses = (
+        "transform(sequence(1, steps), k -> named_struct("
+        "'number', start + k * step * if(end >= start, 1, -1), "
+        "'j', coalesce(array_min(filter(sequence(0, pos2 - pos1 - 1), "
+        "     j -> element_at(_cum, j + 2) >= k * _ivl)), pos2 - pos1 - 1), "
+        "'d', k * _ivl))"
+    )
+    out = pair.select(
+        "way_id",
+        "pair_idx",
+        "street",
+        "lats",
+        "lons",
+        "pos1",
+        "_cum",
+        F.explode(F.expr(houses)).alias("h"),
+    )
+    frac = (
+        "if(element_at(_cum, h.j + 2) - element_at(_cum, h.j + 1) <= 0D, 0D, "
+        "(h.d - element_at(_cum, h.j + 1)) / "
+        "(element_at(_cum, h.j + 2) - element_at(_cum, h.j + 1)))"
+    )
+    return out.select(
+        "way_id",
+        "pair_idx",
+        F.col("h.number").cast("int").alias("number"),
+        "street",
+        F.expr(
+            f"cast(round(lats[pos1 + h.j] + (lats[pos1 + h.j + 1] - lats[pos1 + h.j]) * {frac}) as int)"
+        ).alias("lat"),
+        F.expr(
+            f"cast(round(lons[pos1 + h.j] + (lons[pos1 + h.j + 1] - lons[pos1 + h.j]) * {frac}) as int)"
+        ).alias("lon"),
+        F.lit(True).alias("interpolated"),
+    )
 
 
 def project_houses(houses: DataFrame, roads: DataFrame) -> DataFrame:

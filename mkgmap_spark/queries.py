@@ -1599,6 +1599,94 @@ GROUP BY road_id, side
 """
 
 
+def q_house_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """addr:interpolation ways (customers as straight E-W ways with an
+    addressed node at each end) expanded into synthesized house nodes
+    (HousenumberGenerator.interpretInterpolationWay + HousenumberIvl).
+
+    dx is a multiple of 6000, divisible by every steps+1 in {2..6}, so
+    each house's true position is an exact integer and the double
+    arc-length walk rounds identically in Spark and DuckDB."""
+    from .operators.housenumbers import interpolate_housenumbers
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    step = F.when(F.pmod(k, 3) == 2, 1).otherwise(2)
+    start = (
+        F.when(F.pmod(k, 3) == 0, (F.pmod(k, 20) + 1) * 2)        # even
+        .when(F.pmod(k, 3) == 1, F.pmod(k, 20) * 2 + 1)           # odd
+        .otherwise(F.pmod(k, 20) + 1)                             # all
+    )
+    n_intervals = F.pmod(k, 5) + 2  # steps+1 in 2..6
+    end = start + step * n_intervals
+    dx = (F.pmod(k, 7) + 1) * 6000
+    y = lat_col("c_custkey").cast("int")
+    x0 = lon_col("c_custkey").cast("int")
+    base = c.select(
+        k.alias("way_id"),
+        F.when(F.pmod(k, 3) == 0, "even")
+        .when(F.pmod(k, 3) == 1, "odd")
+        .otherwise("all")
+        .alias("method"),
+        y.alias("y"),
+        x0.alias("x0"),
+        (x0 + dx).cast("int").alias("x1"),
+        start.cast("int").alias("start"),
+        end.cast("int").alias("end"),
+        F.concat(F.lit("S"), k).alias("street"),
+    )
+    ways = base.select(
+        "way_id", "method",
+        F.array("y", "y").alias("lats"),
+        F.array("x0", "x1").alias("lons"),
+    )
+    nodes = base.select(
+        F.col("way_id").alias("node_id"), F.col("start").alias("number"),
+        "street", F.col("y"), F.col("x0").alias("x"),
+    ).unionByName(
+        base.select(
+            (F.col("way_id") + 10_000_000).alias("node_id"),
+            F.col("end").alias("number"),
+            "street", F.col("y"), F.col("x1").alias("x"),
+        )
+    )
+    out = interpolate_housenumbers(ways, nodes, metric="planar")
+    return out.select(
+        "way_id",
+        F.col("number"),
+        "street",
+        F.col("lat"),
+        F.col("lon"),
+    )
+
+
+Q_HOUSE_INTERPOLATION_SQL = f"""
+WITH w AS (
+  SELECT c_custkey AS way_id,
+         CASE WHEN c_custkey % 3 = 2 THEN 1 ELSE 2 END AS step,
+         CASE WHEN c_custkey % 3 = 0 THEN (c_custkey % 20 + 1) * 2
+              WHEN c_custkey % 3 = 1 THEN (c_custkey % 20) * 2 + 1
+              ELSE c_custkey % 20 + 1 END AS start,
+         c_custkey % 5 + 2 AS n_ivl,
+         (c_custkey % 7 + 1) * 6000 AS dx,
+         {lat_sql('c_custkey')} AS y,
+         {lon_sql('c_custkey')} AS x0,
+         'S' || CAST(c_custkey AS VARCHAR) AS street
+  FROM customer
+), h AS (
+  SELECT way_id, step, start, n_ivl, dx, y, x0, street,
+         unnest(generate_series(1, CAST(n_ivl - 1 AS BIGINT))) AS kk
+  FROM w
+)
+SELECT CAST(way_id AS BIGINT) AS way_id,
+       CAST(start + kk * step AS INT) AS number,
+       street,
+       CAST(y AS INT) AS lat,
+       CAST(x0 + dx * kk / n_ivl AS INT) AS lon
+FROM h
+"""
+
+
 # --------------------------------------------------------------------------
 # q: MDR-style global index (combiners/MdrBuilder.java — union of every
 #    tile's named features, sorted/deduplicated with a collation key)
@@ -1989,6 +2077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "road_merge": q_road_merge,
     "turn_restrictions": q_turn_restrictions,
     "house_numbers": q_house_numbers,
+    "house_interpolation": q_house_interpolation,
     "mdr_index": q_mdr_index,
     "poi_way_link": q_poi_way_link,
     "access_mask": q_access_mask,
@@ -2032,6 +2121,7 @@ ORACLES: dict[str, str] = {
     "road_merge": Q_ROAD_MERGE_SQL,
     "turn_restrictions": Q_TURN_RESTRICTIONS_SQL,
     "house_numbers": Q_HOUSE_NUMBERS_SQL,
+    "house_interpolation": Q_HOUSE_INTERPOLATION_SQL,
     "mdr_index": Q_MDR_INDEX_SQL,
     "poi_way_link": Q_POI_WAY_LINK_SQL,
     "access_mask": Q_ACCESS_MASK_SQL,

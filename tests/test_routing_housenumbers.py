@@ -253,3 +253,136 @@ def test_turn_restriction_multi_from_to(spark):
     assert set(by_rel) == {500, 501}
     assert sorted(by_rel[500]) == [(11, 10), (12, 10)]
     assert sorted(by_rel[501]) == [(10, 11), (10, 12)]
+
+
+# ------------------------------------------------------- addr:interpolation
+def test_interpolate_housenumbers_basic(spark):
+    """even/odd/all step rules, calcSteps counts, even spacing along a
+    straight way (interpretInterpolationWay + getInterpolatedPoints)."""
+    from mkgmap_spark.operators.housenumbers import interpolate_housenumbers
+
+    ways = spark.createDataFrame(
+        [
+            # straight E-W line, even 2..10 -> steps (10-2)/2-1 = 3: 4,6,8
+            (1, "even", [1000, 1000], [0, 4000]),
+            # odd 1..9 -> 3,5,7
+            (2, "odd", [2000, 2000], [0, 4000]),
+            # all 1..5 -> 2,3,4
+            (3, "all", [3000, 3000], [0, 4000]),
+            # alphabetic: ignored
+            (4, "alphabetic", [4000, 4000], [0, 4000]),
+        ],
+        "way_id long, method string, lats array<int>, lons array<int>",
+    )
+    nodes = spark.createDataFrame(
+        [
+            (11, 2, "Main St", 1000, 0), (12, 10, "Main St", 1000, 4000),
+            (21, 1, "Odd St", 2000, 0), (22, 9, "Odd St", 2000, 4000),
+            (31, 1, "All St", 3000, 0), (32, 5, "All St", 3000, 4000),
+            (41, 1, "X St", 4000, 0), (42, 9, "X St", 4000, 4000),
+        ],
+        "node_id long, number int, street string, y int, x int",
+    )
+    out = interpolate_housenumbers(ways, nodes, metric="planar").collect()
+    by_way = {}
+    for r in out:
+        by_way.setdefault(r["way_id"], []).append(r)
+    assert set(by_way) == {1, 2, 3}
+    nums = sorted(r["number"] for r in by_way[1])
+    assert nums == [4, 6, 8]
+    # even spacing: 4 intervals over 4000 units -> lon 1000, 2000, 3000
+    lons = sorted(r["lon"] for r in by_way[1])
+    assert lons == [1000, 2000, 3000]
+    assert all(r["lat"] == 1000 and r["street"] == "Main St" for r in by_way[1])
+    assert sorted(r["number"] for r in by_way[2]) == [3, 5, 7]
+    assert sorted(r["number"] for r in by_way[3]) == [2, 3, 4]
+
+
+def test_interpolate_housenumbers_rejections(spark):
+    """Whole-way rejections: parity violation under even/odd, mixed
+    street names; descending numbers still interpolate (usedStep < 0)."""
+    from mkgmap_spark.operators.housenumbers import interpolate_housenumbers
+
+    ways = spark.createDataFrame(
+        [
+            (1, "even", [0, 0], [0, 4000]),     # 2..9: odd endpoint -> reject
+            (2, "odd", [100, 100], [0, 4000]),  # 2..9: even endpoint -> reject
+            # two ELIGIBLE pairs with different street names -> reject
+            # whole way (a mixed pair alone is merely skipped)
+            (3, "all", [200, 200, 200, 200], [0, 2000, 4000, 6000]),
+            (4, "even", [300, 300], [0, 4000]),  # descending 10..2
+            # a single mixed-street pair: the pair is skipped, no houses
+            (5, "all", [400, 400], [0, 4000]),
+        ],
+        "way_id long, method string, lats array<int>, lons array<int>",
+    )
+    nodes = spark.createDataFrame(
+        [
+            (11, 2, "A St", 0, 0), (12, 9, "A St", 0, 4000),
+            (21, 2, "B St", 100, 0), (22, 9, "B St", 100, 4000),
+            (31, 1, "C St", 200, 0), (32, 5, "C St", 200, 2000),
+            (33, 9, "D St", 200, 4000), (34, 13, "D St", 200, 6000),
+            (41, 10, "E St", 300, 0), (42, 2, "E St", 300, 4000),
+            (51, 1, "F St", 400, 0), (52, 9, "G St", 400, 4000),
+        ],
+        "node_id long, number int, street string, y int, x int",
+    )
+    out = interpolate_housenumbers(ways, nodes, metric="planar").collect()
+    by_way = {}
+    for r in out:
+        by_way.setdefault(r["way_id"], []).append(r)
+    assert 1 not in by_way and 2 not in by_way and 3 not in by_way and 5 not in by_way
+    # way 4: 10 down to 2, steps = 8/2-1 = 3 -> 8, 6, 4 walking from start
+    got = sorted((r["lon"], r["number"]) for r in by_way[4])
+    assert got == [(1000, 8), (2000, 6), (3000, 4)]
+
+
+def test_interpolate_housenumbers_multisegment_walk(spark):
+    """Spacing follows the polyline arc length across bends, not the
+    chord (getInterpolatedPoints's segment walk)."""
+    from mkgmap_spark.operators.housenumbers import interpolate_housenumbers
+
+    # L-shape: 3000 units east then 3000 north; all 1..7 -> 5 houses
+    # at arc distances 1000..5000: three on the E leg, two on the N leg
+    ways = spark.createDataFrame(
+        [(1, "all", [0, 0, 3000], [0, 3000, 3000])],
+        "way_id long, method string, lats array<int>, lons array<int>",
+    )
+    nodes = spark.createDataFrame(
+        [(1, 1, "L St", 0, 0), (2, 7, "L St", 3000, 3000)],
+        "node_id long, number int, street string, y int, x int",
+    )
+    out = {r["number"]: (r["lat"], r["lon"])
+           for r in interpolate_housenumbers(ways, nodes, metric="planar").collect()}
+    assert out == {
+        2: (0, 1000), 3: (0, 2000), 4: (0, 3000),
+        5: (1000, 3000), 6: (2000, 3000),
+    }
+
+
+def test_interpolate_housenumbers_interior_pairs(spark):
+    """A way with three addressed nodes forms two intervals; the 0.1 m
+    guard kills degenerate (zero-length) intervals in metric mode."""
+    from mkgmap_spark.operators.housenumbers import interpolate_housenumbers
+
+    ways = spark.createDataFrame(
+        [(1, "even", [0, 0, 0], [0, 2000, 6000])],
+        "way_id long, method string, lats array<int>, lons array<int>",
+    )
+    nodes = spark.createDataFrame(
+        [
+            (1, 2, "M St", 0, 0),
+            (2, 6, "M St", 0, 2000),
+            (3, 14, "M St", 0, 6000),
+        ],
+        "node_id long, number int, street string, y int, x int",
+    )
+    rows = interpolate_housenumbers(ways, nodes, metric="planar").collect()
+    got = sorted((r["pair_idx"], r["number"], r["lon"]) for r in rows)
+    # pair 0: 2..6 -> one house (4) at lon 1000; pair 1: 6..14 -> 8,10,12
+    assert got == [(0, 4, 1000), (1, 8, 3000), (1, 10, 4000), (1, 12, 5000)]
+
+    # equirect metric agrees on this E-W line (uniform scale per leg)
+    rows_m = interpolate_housenumbers(ways, nodes, metric="equirect").collect()
+    got_m = sorted((r["pair_idx"], r["number"], r["lon"]) for r in rows_m)
+    assert got_m == got
