@@ -1694,6 +1694,14 @@ FROM h
 
 
 def q_mdr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global name index in the reference's REAL collation: the
+    cp1252 SRT table (resources/sort/cp1252.txt read per
+    mkgmap/srt/SrtTextReader.java) rendered as a 3-strength fixed-hex
+    key (functions/collation.py), spaces squashed first
+    (Label.squashSpaces).  The global record number is a
+    range-partitioned exclusive scan, not a bare Window.orderBy — at
+    100 TB the name index never lands on one task."""
+    from .functions.collation import collation_key_udf
     from .functions.rank import global_rank
 
     cust = _read(spark, sf_dir, "customer").select(
@@ -1703,11 +1711,8 @@ def q_mdr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("name"), F.lit("supplier").alias("src")
     )
     allnames = cust.unionByName(supp)
-    # binary-collation sort key: lowercase, spaces squashed (the
-    # engine's Label.squashSpaces normal form).  The global record
-    # number is a range-partitioned exclusive scan, not a bare
-    # Window.orderBy — at 100 TB the name index never lands on one task.
-    key = F.regexp_replace(F.lower(F.trim(F.col("name"))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.col("name")), r"\s+", " ")
+    key = collation_key_udf(1252)(norm)
     grouped = (
         allnames.withColumn("sort_key", key)
         .groupBy("sort_key", "src")
@@ -1716,18 +1721,55 @@ def q_mdr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_rank(grouped, ["sort_key", "src"], out="idx")
 
 
-Q_MDR_INDEX_SQL = """
+def _mdr_index_oracle_sql() -> str:
+    """DuckDB twin of q_mdr_index: the per-character weight table of
+    the parsed cp1252 SRT (one row per contributed weight triple,
+    expansion chars contribute several) is embedded as VALUES; the key
+    is rebuilt with zero-skip string_agg per strength.  Characters
+    outside cp1252 fall back to '?' weights, like the reference's
+    codepage encoder replacement (Sort.createSortKey)."""
+    from .functions.collation import default_table
+
+    table = default_table(1252)
+    rows = table.oracle_weight_rows()
+    values = ", ".join(f"({cp}, {seq}, {p}, {s}, {t})" for cp, seq, p, s, t in rows)
+    qb = "?".encode("cp1252")[0]
+    qp, qs, qt = table.primary[qb], table.secondary[qb], table.tertiary[qb]
+    return f"""
 WITH a AS (
   SELECT c_name AS name, 'customer' AS src FROM customer
   UNION ALL
   SELECT s_name AS name, 'supplier' AS src FROM supplier
+), nm AS (
+  SELECT regexp_replace(trim(name), '\\s+', ' ', 'g') AS name, src FROM a
+), w(cp, seq, p, s, t) AS (
+  VALUES {values}
+), pos AS (
+  SELECT name, src, unnest(generate_series(1, CAST(length(name) AS BIGINT))) AS i FROM nm
+), ch AS (
+  SELECT name, src, i, unicode(substr(name, CAST(i AS INT), 1)) AS cp FROM pos
+), jw AS (
+  SELECT c.name, c.src, c.i, w.seq, w.p, w.s, w.t
+  FROM ch c JOIN w ON w.cp = c.cp
+  UNION ALL
+  SELECT c.name, c.src, c.i, 0 AS seq, {qp} AS p, {qs} AS s, {qt} AS t
+  FROM ch c WHERE NOT EXISTS (SELECT 1 FROM w WHERE w.cp = c.cp)
 ), k AS (
-  SELECT regexp_replace(lower(trim(name)), '\\s+', ' ', 'g') AS sort_key, src FROM a
+  SELECT name, src,
+         COALESCE(string_agg(CASE WHEN p <> 0 THEN printf('%04X', p) END, '' ORDER BY i, seq), '')
+         || '-' ||
+         COALESCE(string_agg(CASE WHEN s <> 0 THEN printf('%02X', s) END, '' ORDER BY i, seq), '')
+         || '-' ||
+         COALESCE(string_agg(CASE WHEN t <> 0 THEN printf('%02X', t) END, '' ORDER BY i, seq), '') AS sort_key
+  FROM jw GROUP BY name, src
 )
 SELECT sort_key, src, COUNT(*) AS n,
        CAST(ROW_NUMBER() OVER (ORDER BY sort_key, src) AS BIGINT) AS idx
 FROM k GROUP BY sort_key, src
 """
+
+
+Q_MDR_INDEX_SQL = _mdr_index_oracle_sql()
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,107 @@
+"""SRT multi-level collation vs the reference's own SortTest cases
+(test/uk/me/parabola/imgfmt/app/srt/SortTest.java) and structural
+properties of the parsed cp1252 table."""
+
+from __future__ import annotations
+
+import pytest
+
+from mkgmap_spark.functions.collation import default_table, parse_srt
+
+
+@pytest.fixture(scope="module")
+def key():
+    return default_table(1252).sort_key_hex
+
+
+def test_sorttest_same_and_lengths(key):
+    assert key("aAbâ") == key("aAbâ")
+    assert key("aabbbb") > key("aab")
+    # SortTest.testLengths
+    assert key("-Û") < key("-ü:X")
+    assert key("-ü:X") < key("-Û$")
+    assert key("–") < key("–X")
+    assert key("–TÛ‡²") > key("–")
+
+
+def test_sorttest_strength_hierarchy(key):
+    assert key("AAA") < key("AAB")  # primary
+    assert key("AAA") < key("AÂA")  # secondary
+    assert key("AAa") < key("AAA")  # tertiary (lower case first)
+    # primary differences override secondary ones anywhere in the word
+    assert key("AAAA") < key("ÂAAA") < key("AAAB")
+    # secondary overrides tertiary
+    assert key("aaa") < key("Aaa") < key("aâa")
+    assert key("Aaa") < key("aÂa")
+
+
+def test_sorttest_bad_character_replaced(key):
+    # U+063A is not in cp1252: encoder replacement '?'
+    assert key("aغb") == key("a?b")
+    assert key("aغb") != key("aa")
+    assert key("aغb") != key("")
+
+
+def test_expansions(key):
+    # 'expand ... to . . .': primary weights equal three dots, with the
+    # +7/+2 secondary/tertiary offsets keeping the strings distinct
+    assert key("…").split("-")[0] == key("...").split("-")[0]
+    assert key("…") != key("...")
+    assert key("½").split("-")[0] == key("1/2").split("-")[0]
+    assert key("™").split("-")[0] == key("TM").split("-")[0]
+
+
+def test_digit_superscripts_tertiary(key):
+    # 1,¹ share a primary/secondary group (tertiary difference only)
+    assert key("1").split("-")[0] == key("¹").split("-")[0]
+    assert key("1") != key("¹")
+    assert key("1") < key("2") < key("9")
+
+
+def test_accent_groups_secondary(key):
+    # a á à â å ä ã æ share a primary, differ at secondary
+    base = key("a").split("-")[0]
+    for ch in "áàâåäãæ":
+        assert key(ch).split("-")[0] == base, ch
+    assert key("a") < key("á") < key("à")  # file order: á before à
+
+
+def test_ignorable_characters(key):
+    # soft hyphen U+00AD is fully ignorable at primary+secondary (it
+    # sits in the leading =-group): primary key unchanged
+    assert key("a­b").split("-")[0] == key("ab").split("-")[0]
+
+
+def test_parse_positions_monotone():
+    t = default_table(1252)
+    # primary weights are positive for every letter and strictly
+    # ordered a < b < ... < z
+    letters = [t.primary["abcdefghijklmnopqrstuvwxyz".encode("cp1252")[i]] for i in range(26)]
+    assert all(p > 0 for p in letters)
+    assert letters == sorted(letters) and len(set(letters)) == 26
+    # case pairs share primary AND secondary, differ at tertiary
+    for lo, up in [("a", "A"), ("z", "Z"), ("é", "É")]:
+        bl, bu = lo.encode("cp1252")[0], up.encode("cp1252")[0]
+        assert t.primary[bl] == t.primary[bu]
+        assert t.secondary[bl] == t.secondary[bu]
+        assert t.tertiary[bl] < t.tertiary[bu]
+
+
+def test_parse_minimal_table():
+    t = parse_srt(
+        """
+codepage 1252
+characters
+ < a,A ; b
+ < c
+expand d to a c
+"""
+    )
+    ba, bA, bb, bc, bd = (x.encode("cp1252")[0] for x in "aAbcd")
+    assert t.primary[ba] == t.primary[bA] == t.primary[bb] == 1
+    assert t.secondary[ba] == 1 and t.secondary[bb] == 2
+    assert t.tertiary[ba] == 1 and t.tertiary[bA] == 2
+    # advancePos: next primary = previous + its secondary count (2)
+    assert t.primary[bc] == 3
+    exp = t.weights_of_byte(bd)
+    assert [p for p, _, _ in exp] == [t.primary[ba], t.primary[bc]]
