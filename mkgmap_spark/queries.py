@@ -1599,6 +1599,84 @@ GROUP BY road_id, side
 """
 
 
+def q_sea_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Land/sea synthesis (SeaGenerator.end()): per customer a tile with
+    an open W->E coastline, a CCW island ring and a CW lake inside it.
+    Expected per tile: island (land), lake (water), border landmass
+    (land, walked over the two N corners), sea background rectangle.
+    The bbox spans are powers of two so every edge-hit point
+    reconstructs exactly in doubles (bit-equal in any engine)."""
+    from .operators.sea import generate_sea_polygons
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    yw = (F.pmod(k, 11) * 2000 + 20000).cast("int")
+    ym = (F.pmod(k, 7) * 3000 + 30000).cast("int")
+    ye = (F.pmod(k, 13) * 1500 + 25000).cast("int")
+    coast = c.select(
+        k.alias("tile_id"), F.lit(0).alias("chain_id"),
+        F.array(yw, ym, ye).alias("lats"),
+        F.array(F.lit(0), F.lit(32768), F.lit(65536)).alias("lons"),
+    )
+    CY, CX, HI, HL = 55000, 52000, 4000, 1000
+    island = c.select(
+        k.alias("tile_id"), F.lit(1).alias("chain_id"),
+        F.array(*[F.lit(v) for v in [CY - HI, CY - HI, CY + HI, CY + HI, CY - HI]]).alias("lats"),
+        F.array(*[F.lit(v) for v in [CX - HI, CX + HI, CX + HI, CX - HI, CX - HI]]).alias("lons"),
+    )
+    lake = c.select(
+        k.alias("tile_id"), F.lit(2).alias("chain_id"),
+        F.array(*[F.lit(v) for v in [CY + HL, CY + HL, CY - HL, CY - HL, CY + HL]]).alias("lats"),
+        F.array(*[F.lit(v) for v in [CX - HL, CX + HL, CX + HL, CX - HL, CX - HL]]).alias("lons"),
+    )
+    chains = coast.unionByName(island).unionByName(lake)
+    bounds = c.select(
+        k.alias("tile_id"),
+        F.lit(0).alias("min_lat"), F.lit(0).alias("min_lon"),
+        F.lit(65536).alias("max_lat"), F.lit(65536).alias("max_lon"),
+    )
+    out = generate_sea_polygons(chains, bounds, metric="planar")
+    return out.select("tile_id", "kind", "poly", "idx", "lat", "lon")
+
+
+def _sea_polygons_oracle_sql() -> str:
+    """Point-template twin of q_sea_polygons: per customer, the 21
+    known polygon points (island 5, lake 5, landmass 6, sea rect 5)."""
+    CY, CX, HI, HL = 55000, 52000, 4000, 1000
+    isl = [(CY - HI, CX - HI), (CY - HI, CX + HI), (CY + HI, CX + HI),
+           (CY + HI, CX - HI), (CY - HI, CX - HI)]
+    lak = [(CY + HL, CX - HL), (CY + HL, CX + HL), (CY - HL, CX + HL),
+           (CY - HL, CX - HL), (CY + HL, CX - HL)]
+    sea = [(-1, -1), (65537, -1), (65537, 65537), (-1, 65537), (-1, -1)]
+    parts = []
+    for i, (y, x) in enumerate(isl):
+        parts.append(f"SELECT tile_id, 'land' AS kind, 0 AS poly, {i} AS idx, {y} AS lat, {x} AS lon FROM t")
+    for i, (y, x) in enumerate(lak):
+        parts.append(f"SELECT tile_id, 'water', 1, {i}, {y}, {x} FROM t")
+    # landmass: (yE,65536), NE, NW, (yW,0), (ym,32768), (yE,65536)
+    land = [("ye", 65536), (65536, 65536), (65536, 0), ("yw", 0), ("ym", 32768), ("ye", 65536)]
+    for i, (y, x) in enumerate(land):
+        parts.append(f"SELECT tile_id, 'land', 2, {i}, {y}, {x} FROM t")
+    for i, (y, x) in enumerate(sea):
+        parts.append(f"SELECT tile_id, 'sea', 3, {i}, {y}, {x} FROM t")
+    u = "\nUNION ALL ".join(parts)
+    return f"""
+WITH t AS (
+  SELECT c_custkey AS tile_id,
+         CAST(c_custkey % 11 * 2000 + 20000 AS INT) AS yw,
+         CAST(c_custkey % 7 * 3000 + 30000 AS INT) AS ym,
+         CAST(c_custkey % 13 * 1500 + 25000 AS INT) AS ye
+  FROM customer
+)
+SELECT CAST(tile_id AS BIGINT) AS tile_id, kind, CAST(poly AS INT) AS poly,
+       CAST(idx AS INT) AS idx, CAST(lat AS INT) AS lat, CAST(lon AS INT) AS lon
+FROM ({u})
+"""
+
+
+Q_SEA_POLYGONS_SQL = _sea_polygons_oracle_sql()
+
+
 def q_house_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """addr:interpolation ways (customers as straight E-W ways with an
     addressed node at each end) expanded into synthesized house nodes
@@ -2120,6 +2198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "turn_restrictions": q_turn_restrictions,
     "house_numbers": q_house_numbers,
     "house_interpolation": q_house_interpolation,
+    "sea_polygons": q_sea_polygons,
     "mdr_index": q_mdr_index,
     "poi_way_link": q_poi_way_link,
     "access_mask": q_access_mask,
@@ -2164,6 +2243,7 @@ ORACLES: dict[str, str] = {
     "turn_restrictions": Q_TURN_RESTRICTIONS_SQL,
     "house_numbers": Q_HOUSE_NUMBERS_SQL,
     "house_interpolation": Q_HOUSE_INTERPOLATION_SQL,
+    "sea_polygons": Q_SEA_POLYGONS_SQL,
     "mdr_index": Q_MDR_INDEX_SQL,
     "poi_way_link": Q_POI_WAY_LINK_SQL,
     "access_mask": Q_ACCESS_MASK_SQL,

@@ -829,3 +829,84 @@ def test_roundabout_check_and_drive_side(spark):
         spark.createDataFrame([(5, "left"), (6, "left")], "id long, drive_side string")
     )
     assert detect_drive_side(more_left) is True  # 4 > 1 + 1
+
+
+# ---------------------------------------------------------------- sea synthesis
+def test_sea_polygon_synthesis_kernel():
+    """SeaGenerator.end() contract: a coast crossing the bbox makes a
+    border landmass + sea background; closed rings split island vs
+    anti-island by orientation; empty tile -> land rectangle."""
+    from mkgmap_spark.operators.sea import synthesize_tile_sea
+
+    B = (0, 0, 65536, 65536)
+    # open coastline west edge -> east edge (land side = north, since
+    # the border walk joins over the N corners)
+    coast = ([20000, 30000, 25000], [0, 32768, 65536])
+    out = synthesize_tile_sea([coast], B, metric="planar")
+    kinds = [k for k, _ in out]
+    assert kinds == ["land", "sea"]
+    land = out[0][1]
+    assert land[0] == land[-1]  # closed
+    # contains both bbox N corners (the CCW border walk inserts them)
+    assert (65536, 65536) in land and (65536, 0) in land
+    sea = out[1][1]
+    assert sea[0] == (-1, -1) and (65537, 65537) in sea
+
+    # island (CCW in lon/lat) + lake (CW) inside it
+    def square(cy, cx, h, ccw):
+        pts = [(cy - h, cx - h), (cy - h, cx + h), (cy + h, cx + h), (cy + h, cx - h)]
+        if not ccw:
+            pts = list(reversed(pts))
+        return ([p[0] for p in pts] + [pts[0][0]], [p[1] for p in pts] + [pts[0][1]])
+
+    island = square(20000, 32768, 8000, ccw=True)
+    lake = square(20000, 32768, 2000, ccw=False)
+    out = synthesize_tile_sea([coast, island, lake], B, metric="planar")
+    kinds = [k for k, _ in out]
+    # islands in input order first, then landmass, then background
+    assert kinds == ["land", "water", "land", "sea"]
+
+    # lone lake (not inside any island, sea background): converted to land
+    out = synthesize_tile_sea([coast, lake], B, metric="planar")
+    assert [k for k, _ in out] == ["land", "land", "sea"]
+
+    # no shoreline: land background only
+    out = synthesize_tile_sea([], B, metric="planar")
+    assert [k for k, _ in out] == ["land"]
+    assert out[0][1][0] == (0, 0) and (65536, 65536) in out[0][1]
+
+    # nearly-closed open chain (gap < 10% of length): closed as island
+    ring_y = [30000, 30000, 40000, 40000, 30000]
+    ring_x = [30000, 40000, 40000, 30000, 30100]  # 100-unit gap
+    out = synthesize_tile_sea([(ring_y, ring_x)], B, metric="planar")
+    # becomes a closed island -> background sea needs islands: yes
+    assert [k for k, _ in out] == ["land", "sea"]
+    assert out[0][1][0] == out[0][1][-1]
+
+    # far-from-closed chain not reaching the border: sea sector, no
+    # sea background (allowSeaSectors path)
+    arc = ([20000, 30000, 40000], [20000, 30000, 20000])
+    out = synthesize_tile_sea([arc], B, metric="planar")
+    assert [k for k, _ in out] == ["sea", "land"]
+    sector = out[0][1]
+    assert sector[-1] == (20000, 20000) and (40000, 20000) in sector
+
+
+def test_generate_sea_polygons_dataframe(spark):
+    """Distributed per-tile synthesis incl. the empty-tile land path."""
+    from mkgmap_spark.operators.sea import generate_sea_polygons
+
+    chains = spark.createDataFrame(
+        [(1, 0, [20000, 30000, 25000], [0, 32768, 65536])],
+        "tile_id long, chain_id int, lats array<int>, lons array<int>",
+    )
+    bounds = spark.createDataFrame(
+        [(1, 0, 0, 65536, 65536), (2, 0, 0, 65536, 65536)],
+        "tile_id long, min_lat int, min_lon int, max_lat int, max_lon int",
+    )
+    rows = generate_sea_polygons(chains, bounds, metric="planar").collect()
+    by_tile = {}
+    for r in rows:
+        by_tile.setdefault(r["tile_id"], set()).add((r["kind"], r["poly"]))
+    assert by_tile[1] == {("land", 0), ("sea", 1)}
+    assert by_tile[2] == {("land", 0)}  # empty tile -> land rect
