@@ -415,33 +415,47 @@ def generate_sea_polygons(
     (tile_id, kind, poly, idx, lat, lon) — scalar columns only, so the
     result is oracle-hashable in any engine.
     """
-    joined = chains.join(bounds, "tile_id").repartition("tile_id")
+    # JVM-side per-tile aggregation, then MANY tiles per Arrow batch
+    # via mapInPandas: applyInPandas would pay its per-group pandas
+    # materialization cost 1x per tile (~tens of ms each — measured as
+    # the whole stage's bottleneck); here the per-batch cost amortizes
+    # over thousands of tiles.
+    agg = chains.groupBy("tile_id").agg(
+        F.sort_array(F.collect_list(F.struct("chain_id", "lats", "lons"))).alias("cs")
+    )
+    joined = agg.join(bounds, "tile_id")
 
-    def kernel(key, pdf):
-        rows = []
-        bbox = (
-            int(pdf["min_lat"].iloc[0]), int(pdf["min_lon"].iloc[0]),
-            int(pdf["max_lat"].iloc[0]), int(pdf["max_lon"].iloc[0]),
-        )
-        cs = [
-            (list(r.lats), list(r.lons))
-            for r in pdf.sort_values("chain_id").itertuples()
-        ]
-        polys = synthesize_tile_sea(
-            cs, bbox,
-            allow_sea_sectors=allow_sea_sectors,
-            extend_sea_sectors=extend_sea_sectors,
-            metric=metric,
-        )
-        tid = int(key[0])
-        for poly_idx, (kind, pts) in enumerate(polys):
-            for idx, (y, x) in enumerate(pts):
-                rows.append((tid, kind, poly_idx, idx, int(y), int(x)))
-        return pd.DataFrame(
-            rows, columns=["tile_id", "kind", "poly", "idx", "lat", "lon"]
-        )
+    def kernel(it):
+        for pdf in it:
+            tid_out, kind_out, poly_out, idx_out, lat_out, lon_out = (
+                [], [], [], [], [], []
+            )
+            for r in pdf.itertuples():
+                bbox = (int(r.min_lat), int(r.min_lon), int(r.max_lat), int(r.max_lon))
+                cs = [(list(c["lats"]), list(c["lons"])) for c in r.cs]
+                polys = synthesize_tile_sea(
+                    cs, bbox,
+                    allow_sea_sectors=allow_sea_sectors,
+                    extend_sea_sectors=extend_sea_sectors,
+                    metric=metric,
+                )
+                tid = int(r.tile_id)
+                for poly_idx, (kind, pts) in enumerate(polys):
+                    for idx, (y, x) in enumerate(pts):
+                        tid_out.append(tid)
+                        kind_out.append(kind)
+                        poly_out.append(poly_idx)
+                        idx_out.append(idx)
+                        lat_out.append(int(y))
+                        lon_out.append(int(x))
+            yield pd.DataFrame(
+                {
+                    "tile_id": tid_out, "kind": kind_out, "poly": poly_out,
+                    "idx": idx_out, "lat": lat_out, "lon": lon_out,
+                }
+            )
 
-    synth = joined.groupBy("tile_id").applyInPandas(
+    synth = joined.mapInPandas(
         kernel, "tile_id long, kind string, poly int, idx int, lat int, lon int"
     )
     # tiles with no shoreline: plain land rectangle (end():861-875)

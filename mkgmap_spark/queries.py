@@ -1599,6 +1599,103 @@ GROUP BY road_id, side
 """
 
 
+def q_roundabout_flares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flare triangle checks (RouteNode.checkRoundaboutFlares): per
+    customer a 4-node roundabout with an outgoing/incoming flare pair
+    to an apex, broken per k%5 (good / outgoing backward / incoming
+    forward / outgoing not oneway / incoming not oneway); good flares
+    with k%3=0 get a continuation arc past the apex."""
+    from .operators.flares import check_roundabout_flares
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    base = c.select(
+        k.alias("k"),
+        (k * 10000).alias("n0"),
+        F.pmod(k, 5).alias("v"),
+        ((F.pmod(k, 5) == 0) & (F.pmod(k, 3) == 0)).alias("cont"),
+    )
+    # booleans per variant
+    base = base.withColumns(
+        {
+            "out_fwd": F.col("v") != 1,
+            "in_fwd": F.col("v") == 2,
+            "out_ow": F.col("v") != 3,
+            "in_ow": F.col("v") != 4,
+        }
+    )
+
+    def s(f, t, road, rab, ow, fwd, ln, fc):
+        return F.struct(
+            f.alias("from_id"), t.alias("to_id"), road.alias("road_id"),
+            rab.alias("roundabout"), ow.alias("oneway"), fwd.alias("forward"),
+            ln.alias("length"), fc.alias("flare_check"),
+            F.lit(False).alias("synthesised"),
+        )
+
+    n0 = F.col("n0")
+    T, Fa = F.lit(True), F.lit(False)
+    L100, L50 = F.lit(100).cast("long"), F.lit(50).cast("long")
+    ring = []
+    for i in range(4):
+        a_, b_ = n0 + i, n0 + (i + 1) % 4
+        rd = n0 + 900
+        ring.append(s(a_, b_, rd, T, T, T, L100, Fa))
+        ring.append(s(b_, a_, rd, T, T, Fa, L100, Fa))
+    apex, ext, ext2 = n0 + 4, n0 + 5, n0 + 6
+    r701, r702, r800 = n0 + 701, n0 + 702, n0 + 800
+    flare = [
+        s(n0, apex, r701, Fa, F.col("out_ow"), F.col("out_fwd"), L50, T),
+        s(apex, n0, r701, Fa, F.col("out_ow"), ~F.col("out_fwd"), L50, T),
+        s(apex, n0 + 1, r702, Fa, F.col("in_ow"), ~F.col("in_fwd"), L50, T),
+        s(n0 + 1, apex, r702, Fa, F.col("in_ow"), F.col("in_fwd"), L50, T),
+        s(apex, ext, r800, Fa, Fa, T, L50, T),
+        s(ext, apex, r800, Fa, Fa, Fa, L50, T),
+    ]
+    cont = [
+        s(apex, ext2, r701, Fa, F.col("out_ow"), F.col("out_fwd"), L50, T),
+        s(ext2, apex, r701, Fa, F.col("out_ow"), ~F.col("out_fwd"), L50, T),
+    ]
+    arcs = base.select(
+        "k",
+        F.explode(
+            F.when(F.col("cont"), F.array(*ring, *flare, *cont)).otherwise(
+                F.array(*ring, *flare)
+            )
+        ).alias("a"),
+    ).select("k", "a.*")
+    out = check_roundabout_flares(arcs)
+    # canonical triangle only (the 701-out / 702-in pair)
+    return (
+        out.join(
+            base.select("k", "n0"),
+            out["node_id"] == F.col("n0"),
+        )
+        .filter(
+            (F.col("out_road") == F.col("n0") + 701)
+            & (F.col("in_road") == F.col("n0") + 702)
+        )
+        .select(
+            F.col("k").alias("c_custkey"),
+            F.coalesce(F.col("warning"), F.lit("ok")).alias("warning"),
+        )
+    )
+
+
+Q_ROUNDABOUT_FLARES_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CASE c_custkey % 5
+         WHEN 1 THEN 'outgoing-wrong-direction'
+         WHEN 2 THEN 'incoming-wrong-direction'
+         WHEN 3 THEN 'outgoing-not-oneway'
+         WHEN 4 THEN 'incoming-not-oneway'
+         ELSE CASE WHEN c_custkey % 3 = 0
+                   THEN 'outgoing-continues-past-flare' ELSE 'ok' END
+       END AS warning
+FROM customer
+"""
+
+
 def q_sea_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Land/sea synthesis (SeaGenerator.end()): per customer a tile with
     an open W->E coastline, a CCW island ring and a CW lake inside it.
@@ -1608,7 +1705,12 @@ def q_sea_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructs exactly in doubles (bit-equal in any engine)."""
     from .operators.sea import generate_sea_polygons
 
-    c = _read(spark, sf_dir, "customer")
+    # every 10th customer: tile counts in the real pipeline are
+    # hundreds-to-thousands, not one per customer; the moduli below
+    # (11/7/13) are coprime to 10 so every geometry variant still occurs
+    c = _read(spark, sf_dir, "customer").filter(
+        F.pmod(F.col("c_custkey").cast("long"), 10) == 0
+    )
     k = F.col("c_custkey").cast("long")
     yw = (F.pmod(k, 11) * 2000 + 20000).cast("int")
     ym = (F.pmod(k, 7) * 3000 + 30000).cast("int")
@@ -1666,7 +1768,7 @@ WITH t AS (
          CAST(c_custkey % 11 * 2000 + 20000 AS INT) AS yw,
          CAST(c_custkey % 7 * 3000 + 30000 AS INT) AS ym,
          CAST(c_custkey % 13 * 1500 + 25000 AS INT) AS ye
-  FROM customer
+  FROM customer WHERE c_custkey % 10 = 0
 )
 SELECT CAST(tile_id AS BIGINT) AS tile_id, kind, CAST(poly AS INT) AS poly,
        CAST(idx AS INT) AS idx, CAST(lat AS INT) AS lat, CAST(lon AS INT) AS lon
@@ -2199,6 +2301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "house_numbers": q_house_numbers,
     "house_interpolation": q_house_interpolation,
     "sea_polygons": q_sea_polygons,
+    "roundabout_flares": q_roundabout_flares,
     "mdr_index": q_mdr_index,
     "poi_way_link": q_poi_way_link,
     "access_mask": q_access_mask,
@@ -2244,6 +2347,7 @@ ORACLES: dict[str, str] = {
     "house_numbers": Q_HOUSE_NUMBERS_SQL,
     "house_interpolation": Q_HOUSE_INTERPOLATION_SQL,
     "sea_polygons": Q_SEA_POLYGONS_SQL,
+    "roundabout_flares": Q_ROUNDABOUT_FLARES_SQL,
     "mdr_index": Q_MDR_INDEX_SQL,
     "poi_way_link": Q_POI_WAY_LINK_SQL,
     "access_mask": Q_ACCESS_MASK_SQL,

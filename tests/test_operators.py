@@ -910,3 +910,91 @@ def test_generate_sea_polygons_dataframe(spark):
         by_tile.setdefault(r["tile_id"], set()).add((r["kind"], r["poly"]))
     assert by_tile[1] == {("land", 0), ("sea", 1)}
     assert by_tile[2] == {("land", 0)}  # empty tile -> land rect
+
+
+# ---------------------------------------------------------------- flares
+def _flare_graph(variant="good", ring=4):
+    """Arcs for one roundabout ring R0..R{ring-1} (forward around,
+    length 100 each, road 900) with a flare triangle at R0/R1 -> apex
+    1000, plus a two-way road 800 at the apex (so R1 'connects to a
+    non-roundabout segment' is NOT what settles the walk — the flares
+    themselves do) and, per variant, broken flare properties."""
+    arcs = []
+
+    def arc(f, t, road, rab=False, ow=False, fwd=True, ln=50, fc=False):
+        arcs.append((f, t, road, rab, ow, fwd, ln, fc, False))
+
+    for i in range(ring):
+        arc(i, (i + 1) % ring, 900, rab=True, ow=True, fwd=True, ln=100)
+        arc((i + 1) % ring, i, 900, rab=True, ow=True, fwd=False, ln=100)
+    apex = 1000
+    out_ow = variant != "out-not-oneway"
+    in_ow = variant != "in-not-oneway"
+    out_fwd = variant != "out-backward"
+    in_fwd = variant == "in-forward"
+    # outgoing flare road 701: direction R0 -> apex (unless broken)
+    arc(0, apex, 701, ow=out_ow, fwd=out_fwd, fc=True)
+    arc(apex, 0, 701, ow=out_ow, fwd=not out_fwd, fc=True)
+    # incoming flare road 702: direction apex -> R1
+    arc(apex, 1, 702, ow=in_ow, fwd=not in_fwd, fc=True)
+    arc(1, apex, 702, ow=in_ow, fwd=in_fwd, fc=True)
+    # two-way continuation road at the apex
+    arc(apex, 2000, 800, fwd=True, fc=True)
+    arc(2000, apex, 800, fwd=False, fc=True)
+    if variant == "out-continues":
+        arc(apex, 2001, 701, fwd=out_fwd, fc=True)
+        arc(2001, apex, 701, fwd=not out_fwd, fc=True)
+    return arcs
+
+
+def test_roundabout_flare_checks(spark):
+    from mkgmap_spark.operators.flares import (
+        WARN_IN_DIR,
+        WARN_IN_ONEWAY,
+        WARN_OUT_DIR,
+        WARN_OUT_ONEWAY,
+        check_roundabout_flares,
+    )
+
+    schema = (
+        "from_id long, to_id long, road_id long, roundabout boolean, "
+        "oneway boolean, forward boolean, length long, flare_check boolean, "
+        "synthesised boolean"
+    )
+    expect = {
+        "good": None,
+        "out-backward": WARN_OUT_DIR,
+        "in-forward": WARN_IN_DIR,
+        "out-not-oneway": WARN_OUT_ONEWAY,
+        "in-not-oneway": WARN_IN_ONEWAY,
+    }
+    for variant, want in expect.items():
+        arcs = spark.createDataFrame(_flare_graph(variant), schema)
+        rows = check_roundabout_flares(arcs).collect()
+        # flare triangle candidates with road 800 as a second "fb" also
+        # join; keep the true triangle rows (701 out, 702 in)
+        tri = [r for r in rows if r["out_road"] == 701 and r["in_road"] == 702]
+        assert len(tri) == 1, (variant, rows)
+        r = tri[0]
+        assert (r["node_id"], r["nb_id"], r["apex_id"]) == (0, 1, 1000), variant
+        assert r["warning"] == want, (variant, r["warning"])
+
+    # only the SHORTER roundabout segment checks the flare: no checked
+    # candidate with n=1, nb=0 (reverse walk length 300 >= 100)
+    arcs = spark.createDataFrame(_flare_graph("good"), schema)
+    rows = check_roundabout_flares(arcs).collect()
+    assert not [r for r in rows if r["node_id"] == 1 and r["nb_id"] == 0]
+
+    # continuation past the apex
+    arcs = spark.createDataFrame(_flare_graph("out-continues"), schema)
+    rows = check_roundabout_flares(arcs).collect()
+    tri = [r for r in rows if r["out_road"] == 701 and r["in_road"] == 702]
+    assert tri and tri[0]["warning"] == "outgoing-continues-past-flare"
+
+    # max_flare_length_ratio filters long pseudo-flares (flare len 50,
+    # segment 100: ratio 1 -> max 100 >= 50 keeps; shrink segment by a
+    # bigger ratio test: ratio such that both flare roads exceed)
+    rows = check_roundabout_flares(
+        spark.createDataFrame(_flare_graph("good"), schema), max_flare_length_ratio=0
+    ).collect()
+    assert [r for r in rows if r["out_road"] == 701 and r["in_road"] == 702]
