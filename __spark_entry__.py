@@ -1,8 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship tile-assignment pipeline on sf0.001.
-queries()     -> 43 operator queries from SURVEY.md §2 (mkgmap_spark/queries.py).
-oracle_sql()  -> 42 matching DuckDB SQL twins for the correctness gate
+queries()     -> 44 operator queries from SURVEY.md §2 (mkgmap_spark/queries.py).
+oracle_sql()  -> 43 matching DuckDB SQL twins for the correctness gate
                  (only tile_assign is rows-only: quadtree driver loop,
                  covered row-for-row by the pytest oracle; its
                  assignment semantics are driver-gated via

@@ -1599,6 +1599,102 @@ GROUP BY road_id, side
 """
 
 
+def q_dest_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link destination hints end-to-end (LinkDestinationHook): per
+    order two chained oneway motorway_links A -> B; B shares A's
+    destination for even keys and is dropped by the chain dedup; the
+    survivors split into approach/hint/rest parts at the reference's
+    20 m / 10-50 m cuts (planar metric: map units as metres)."""
+    from .operators.link_destination import process_link_destinations
+
+    # every 4th order (coprime with the %5 length variants): the
+    # hint pipeline's cost scales with ways, keep the bench honest
+    o = _read(spark, sf_dir, "orders").filter(
+        F.pmod(F.col("o_orderkey").cast("long"), 4) == 0
+    )
+    k = F.col("o_orderkey").cast("long")
+    y = lat_col("o_orderkey").cast("int")
+    x0 = lon_col("o_orderkey").cast("int")
+    la = (F.pmod(k, 5) * 8000 + 4000).cast("int")
+    dest_a = F.concat(F.lit("D"), F.pmod(k, 20))
+    dest_b = F.when(F.pmod(k, 2) == 0, dest_a).otherwise(F.concat(F.lit("E"), k))
+    a = o.select(
+        (k * 2).alias("id"),
+        F.map_from_arrays(
+            F.array(F.lit("highway"), F.lit("oneway"), F.lit("destination")),
+            F.array(F.lit("motorway_link"), F.lit("yes"), dest_a),
+        ).alias("tags"),
+        F.array(y, y).alias("lats"),
+        F.array(x0, x0 + la).alias("lons"),
+    )
+    b = o.select(
+        (k * 2 + 1).alias("id"),
+        F.map_from_arrays(
+            F.array(F.lit("highway"), F.lit("oneway"), F.lit("destination")),
+            F.array(F.lit("motorway_link"), F.lit("yes"), dest_b),
+        ).alias("tags"),
+        F.array(y, y).alias("lats"),
+        F.array(x0 + la, x0 + la + 5000).alias("lons"),
+    )
+    out = process_link_destinations(a.unionByName(b), metric="planar")
+    return out.select(
+        F.col("id").alias("way_id"),
+        "part",
+        "role",
+        F.expr("lons[0]").alias("x_start"),
+        F.expr("element_at(lons, -1)").alias("x_end"),
+        F.expr("lats[0]").alias("y"),
+        "dest_hint",
+    )
+
+
+def _dest_hints_oracle_sql() -> str:
+    """Closed-form parts: a 2-point way of length L >= 4000 units cuts
+    at +20 (approach), +30 (hint end), rest to L."""
+    base = f"""
+  SELECT o_orderkey AS k,
+         {lat_sql('o_orderkey')} AS y,
+         {lon_sql('o_orderkey')} AS x0,
+         o_orderkey % 5 * 8000 + 4000 AS la,
+         'D' || CAST(o_orderkey % 20 AS VARCHAR) AS dest_a,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'D' || CAST(o_orderkey % 20 AS VARCHAR)
+              ELSE 'E' || CAST(o_orderkey AS VARCHAR) END AS dest_b
+  FROM orders WHERE o_orderkey % 4 = 0
+"""
+    tmpl = []
+    # way A: id 2k, starts x0, length la
+    for part, role, s, e, hint in [
+        (0, "approach", "x0", "x0 + 20", "NULL"),
+        (1, "hint", "x0 + 20", "x0 + 30", "dest_a"),
+        (2, "rest", "x0 + 30", "x0 + la", "NULL"),
+    ]:
+        tmpl.append(
+            f"SELECT k * 2 AS way_id, {part} AS part, '{role}' AS role, "
+            f"{s} AS x_start, {e} AS x_end, y, {hint} AS dest_hint FROM t"
+        )
+    # way B: id 2k+1, starts x0+la, length 5000; only odd keys survive
+    for part, role, s, e, hint in [
+        (0, "approach", "x0 + la", "x0 + la + 20", "NULL"),
+        (1, "hint", "x0 + la + 20", "x0 + la + 30", "dest_b"),
+        (2, "rest", "x0 + la + 30", "x0 + la + 5000", "NULL"),
+    ]:
+        tmpl.append(
+            f"SELECT k * 2 + 1, {part}, '{role}', {s}, {e}, y, {hint} "
+            f"FROM t WHERE k % 2 = 1"
+        )
+    u = "\nUNION ALL ".join(tmpl)
+    return f"""
+WITH t AS ({base})
+SELECT CAST(way_id AS BIGINT) AS way_id, CAST(part AS INT) AS part, role,
+       CAST(x_start AS INT) AS x_start, CAST(x_end AS INT) AS x_end,
+       CAST(y AS INT) AS y, dest_hint
+FROM ({u})
+"""
+
+
+Q_DEST_HINTS_SQL = _dest_hints_oracle_sql()
+
+
 def q_roundabout_flares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flare triangle checks (RouteNode.checkRoundaboutFlares): per
     customer a 4-node roundabout with an outgoing/incoming flare pair
@@ -2302,6 +2398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "house_interpolation": q_house_interpolation,
     "sea_polygons": q_sea_polygons,
     "roundabout_flares": q_roundabout_flares,
+    "dest_hints": q_dest_hints,
     "mdr_index": q_mdr_index,
     "poi_way_link": q_poi_way_link,
     "access_mask": q_access_mask,
@@ -2348,6 +2445,7 @@ ORACLES: dict[str, str] = {
     "house_interpolation": Q_HOUSE_INTERPOLATION_SQL,
     "sea_polygons": Q_SEA_POLYGONS_SQL,
     "roundabout_flares": Q_ROUNDABOUT_FLARES_SQL,
+    "dest_hints": Q_DEST_HINTS_SQL,
     "mdr_index": Q_MDR_INDEX_SQL,
     "poi_way_link": Q_POI_WAY_LINK_SQL,
     "access_mask": Q_ACCESS_MASK_SQL,
