@@ -2,11 +2,11 @@
 
 entry(spark)  -> flagship tile-assignment pipeline on sf0.001.
 queries()     -> 44 operator queries from SURVEY.md §2 (mkgmap_spark/queries.py).
-oracle_sql()  -> 43 matching DuckDB SQL twins for the correctness gate
-                 (only tile_assign is rows-only: quadtree driver loop,
-                 covered row-for-row by the pytest oracle; its
-                 assignment semantics are driver-gated via
-                 tile_assign_fixed).
+oracle_sql()  -> 44 matching DuckDB SQL twins — every query is fully
+                 SQL-oracled.  tile_assign's twin embeds the quadtree
+                 precomputed by the independent element-at-a-time
+                 oracle for each gate scale (self-selected by lineitem
+                 row count; scripts/gen_tile_oracle.py).
 """
 
 from __future__ import annotations

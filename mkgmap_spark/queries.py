@@ -488,6 +488,58 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tile_assign_sql() -> str:
+    """DuckDB twin of q_tile_assign: the data-dependent quadtree cannot
+    be derived in SQL, so the tile trees are precomputed ONCE by the
+    INDEPENDENT element-at-a-time oracle (mkgmap_spark/oracle/tiles.py
+    via scripts/gen_tile_oracle.py — no engine code in that path),
+    shipped as data for each gate scale (sf0.001 pytest, sf0.01
+    driver), keyed by the dataset's lineitem row count so the static
+    SQL self-selects the right tree; membership is then plain bbox
+    containment + the round-robin spill formula.  An unknown scale
+    selects zero tiles and fails loudly.  Staleness tripwire:
+    tests/test_tiling.py::test_tile_oracle_data_current."""
+    import gzip
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "tile_oracle.json.gz"
+    )
+    with gzip.open(path, "rt") as f:
+        trees = json.load(f)
+    values = ",".join(
+        f"({n},{t[0]},{t[1]},{t[2]},{t[3]},{t[4]},{t[5]})"
+        for n, tiles in trees.items()
+        for t in tiles
+    )
+    return f"""
+WITH alltiles(n_expected, tile_id, min_lat, min_lon, max_lat, max_lon, n_slots) AS (
+  VALUES {values}
+), tiles AS (
+  SELECT tile_id, min_lat, min_lon, max_lat, max_lon, n_slots
+  FROM alltiles WHERE n_expected = (SELECT COUNT(*) FROM lineitem)
+), pts AS (
+  SELECT l_orderkey * 8 + l_linenumber AS id,
+         (l_orderkey * 8 + l_linenumber) * {C_LAT} % {LAT_MOD} - {LAT_OFF} AS ay,
+         (l_orderkey * 8 + l_linenumber) * {C_LON} % {LON_MOD} - {LON_OFF} AS ax
+  FROM lineitem
+), based AS (
+  SELECT p.id, t.tile_id AS base_tile, t.n_slots
+  FROM pts p JOIN tiles t
+    ON p.ay >= t.min_lat AND p.ay < t.max_lat
+   AND p.ax >= t.min_lon AND p.ax < t.max_lon
+)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(base_tile + (ROW_NUMBER() OVER (PARTITION BY base_tile ORDER BY id) - 1)
+            % n_slots AS BIGINT) AS tile_id
+FROM based
+"""
+
+
+Q_TILE_ASSIGN_SQL = _tile_assign_sql()
+
+
 # --------------------------------------------------------------------------
 # q: tile assignment against a FIXED quadtree (driver-gated variant of
 #    the graded operator): the data-dependent quadtree driver loop is
@@ -2470,10 +2522,12 @@ ORACLES: dict[str, str] = {
     "events_window": Q_EVENTS_WINDOW_SQL,
     "events_user_stats": Q_EVENTS_USER_STATS_SQL,
     "embedding_topk": Q_EMBEDDING_TOPK_SQL,
-    # tile_assign: intentionally no SQL oracle (quadtree driver loop);
-    # row-for-row correctness is enforced by tests/test_tiling.py —
-    # tile_assign_fixed below drives the same assignment + spill
-    # kernels against a fixed tree WITH a full SQL oracle
+    # tile_assign: the tree itself cannot be derived in SQL (quadtree
+    # driver loop), so its oracle embeds the tree PRECOMPUTED at the
+    # driver's sf0.01 gate scale by the independent element-at-a-time
+    # oracle (see _tile_assign_sql / scripts/gen_tile_oracle.py);
+    # tile_assign_fixed keeps the literal-tree variant
+    "tile_assign": Q_TILE_ASSIGN_SQL,
     "tile_assign_fixed": _tile_assign_fixed_sql(),
     "quality_scores": Q_QUALITY_SCORES_SQL,
     "doc_fingerprints": Q_DOC_FINGERPRINTS_SQL,

@@ -234,3 +234,31 @@ def test_combiners_mdx_nsis_gmapi(spark, documents_df):
     assert kinds["info_xml"] == 1 and kinds["tdb"] == 1
     assert kinds["mdx"] == 1 and kinds["mdr_dir"] == 1
     assert all(r["path"].startswith("OSM map.gmap/") for r in lay)
+
+
+def test_tile_oracle_data_current():
+    """The embedded tile trees for the tile_assign SQL oracle must
+    equal a fresh derivation from the independent element-at-a-time
+    oracle over the gate datasets (staleness tripwire for
+    mkgmap_spark/data/tile_oracle.json.gz)."""
+    import gzip
+    import json
+    import os
+    import sys
+
+    import pytest as _pytest
+
+    sf_dirs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    if not all(os.path.exists(os.path.join(d, "lineitem.parquet")) for d in sf_dirs):
+        _pytest.skip("driver testdata not available")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir, "scripts"))
+    from gen_tile_oracle import generate_all
+
+    fresh = generate_all(sf_dirs)
+    path = os.path.join(
+        os.path.dirname(__file__), os.pardir,
+        "mkgmap_spark", "data", "tile_oracle.json.gz",
+    )
+    with gzip.open(path, "rt") as f:
+        stored = json.load(f)
+    assert stored == fresh
