@@ -1651,6 +1651,101 @@ GROUP BY road_id, side
 """
 
 
+def q_locator_autofill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locator city autofill (build/Locator.java autofillCities):
+    nations are the seed cities; every 50th customer is a place —
+    k%3=0 resolves via its is_in city name, k%3=1 carries an unmatched
+    is_in and k%3=2 none (both fall back to the nearest known city in
+    the last run, which by then includes the run-1-resolved places)."""
+    from .operators.locator import autofill_cities
+
+    n = _read(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("long")
+    seed = nk * 13 + 7
+    cities = n.select(
+        nk.alias("id"),
+        F.concat(F.lit("City"), nk).alias("name"),
+        F.concat(F.lit("City"), nk).alias("city"),
+        F.concat(F.lit("R"), F.pmod(nk, 5)).alias("region"),
+        F.concat(F.lit("C"), F.pmod(nk, 3)).alias("country"),
+        F.concat(F.lit("Z"), nk).alias("zip"),
+        F.lit(None).cast("string").alias("is_in"),
+        (F.pmod(seed * C_LAT, F.lit(LAT_MOD)) - LAT_OFF).cast("int").alias("lat"),
+        (F.pmod(seed * C_LON, F.lit(LON_MOD)) - LON_OFF).cast("int").alias("lon"),
+    )
+    c = _read(spark, sf_dir, "customer").filter(
+        F.pmod(F.col("c_custkey").cast("long"), 50) == 0
+    )
+    k = F.col("c_custkey").cast("long")
+    places = c.select(
+        (k + 100000).alias("id"),
+        F.concat(F.lit("P"), k).alias("name"),
+        F.lit(None).cast("string").alias("city"),
+        F.lit(None).cast("string").alias("region"),
+        F.lit(None).cast("string").alias("country"),
+        F.lit(None).cast("string").alias("zip"),
+        F.when(F.pmod(k, 3) == 0, F.concat(F.lit("City"), F.pmod(k, 25), F.lit(", Junk")))
+        .when(F.pmod(k, 3) == 1, F.lit("Nowhere"))
+        .alias("is_in"),
+        lat_col("c_custkey").cast("int").alias("lat"),
+        lon_col("c_custkey").cast("int").alias("lon"),
+    )
+    out = autofill_cities(cities.unionByName(places))
+    return out.filter(F.col("id") >= 100000).select(
+        "id", "city", "region", "country", "zip"
+    )
+
+
+def _locator_autofill_sql() -> str:
+    lat_n = lat_sql("(n_nationkey * 13 + 7)")
+    lon_n = lon_sql("(n_nationkey * 13 + 7)")
+    return f"""
+WITH nat AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS cid,
+         'City' || CAST(n_nationkey AS VARCHAR) AS cname,
+         'City' || CAST(n_nationkey AS VARCHAR) AS city,
+         'R' || CAST(n_nationkey % 5 AS VARCHAR) AS region,
+         'C' || CAST(n_nationkey % 3 AS VARCHAR) AS country,
+         'Z' || CAST(n_nationkey AS VARCHAR) AS zip,
+         CAST({lat_n} AS BIGINT) AS lat, CAST({lon_n} AS BIGINT) AS lon
+  FROM nation
+), pl AS (
+  SELECT CAST(c_custkey + 100000 AS BIGINT) AS id,
+         'P' || CAST(c_custkey AS VARCHAR) AS name,
+         c_custkey % 3 AS v,
+         c_custkey % 25 AS cref,
+         CAST({lat_sql('c_custkey')} AS BIGINT) AS lat,
+         CAST({lon_sql('c_custkey')} AS BIGINT) AS lon
+  FROM customer WHERE c_custkey % 50 = 0
+), run1 AS (
+  SELECT pl.id, pl.name, pl.lat, pl.lon,
+         nat.city, nat.region, nat.country, nat.zip
+  FROM pl JOIN nat ON pl.v = 0 AND nat.cname = 'City' || CAST(pl.cref AS VARCHAR)
+), cand AS (
+  SELECT cid, city, region, country, lat, lon FROM nat
+  UNION ALL
+  SELECT id AS cid, city, region, country, lat, lon FROM run1
+), need AS (
+  SELECT id, name, lat, lon FROM pl WHERE v IN (1, 2)
+), near AS (
+  SELECT id, name, region, country,
+         ROW_NUMBER() OVER (
+           PARTITION BY id
+           ORDER BY (n.lat - d.lat) * (n.lat - d.lat)
+                  + (n.lon - d.lon) * (n.lon - d.lon), n.cid
+         ) AS rn
+  FROM need d JOIN cand n ON TRUE
+)
+SELECT id, city, region, country, zip FROM run1
+UNION ALL
+SELECT id, name AS city, region, country, CAST(NULL AS VARCHAR) AS zip
+FROM near WHERE rn = 1
+"""
+
+
+Q_LOCATOR_AUTOFILL_SQL = _locator_autofill_sql()
+
+
 def q_dest_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link destination hints end-to-end (LinkDestinationHook): per
     order two chained oneway motorway_links A -> B; B shares A's
@@ -2451,6 +2546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sea_polygons": q_sea_polygons,
     "roundabout_flares": q_roundabout_flares,
     "dest_hints": q_dest_hints,
+    "locator_autofill": q_locator_autofill,
     "mdr_index": q_mdr_index,
     "poi_way_link": q_poi_way_link,
     "access_mask": q_access_mask,
@@ -2498,6 +2594,7 @@ ORACLES: dict[str, str] = {
     "sea_polygons": Q_SEA_POLYGONS_SQL,
     "roundabout_flares": Q_ROUNDABOUT_FLARES_SQL,
     "dest_hints": Q_DEST_HINTS_SQL,
+    "locator_autofill": Q_LOCATOR_AUTOFILL_SQL,
     "mdr_index": Q_MDR_INDEX_SQL,
     "poi_way_link": Q_POI_WAY_LINK_SQL,
     "access_mask": Q_ACCESS_MASK_SQL,
