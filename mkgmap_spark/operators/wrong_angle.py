@@ -245,3 +245,186 @@ def fix_wrong_angles(ways: DataFrame, hp: bool = True) -> DataFrame:
             yield pd.DataFrame(out, columns=["id", "lats", "lons", "n_removed"])
 
     return ways.select(*cols).mapInPandas(kernel, WA_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# cross-way fixpoint (the reference's CenterOfAngle graph)
+# ------------------------------------------------------------------
+
+
+def fix_group_angles(
+    group: list[tuple[int, np.ndarray, np.ndarray, np.ndarray | None]],
+    max_passes: int = 10,
+):
+    """Cross-way fixer for one group of ways (the reference runs per
+    tile; WrongAngleFixer.java builds CenterOfAngle objects SHARED
+    between ways via the global coord pool, :249-420).
+
+    group: [(way_id, hp_lats, hp_lons, preserved)].  Returns
+    {way_id: (disp_lats, disp_lons, keep_mask)} where a point shared
+    by several ways gets ONE display position decided from the union
+    of all its neighbours.
+
+    Divergence (documented): centers are keyed by exact high-precision
+    coordinate value (the reference keys by Coord object identity from
+    the tile's coord pool — same value within a tile); points shared
+    by more than one way, way endpoints and preserved points may MOVE
+    but never REMOVE (the reference additionally allows removing some
+    shared degree-2 points after merging duplicate centers — a rare
+    cascade this model skips)."""
+    ways = []
+    for wid, la, lo, pres in group:
+        hp = np.stack([la.astype(np.int64), lo.astype(np.int64)], axis=1)
+        disp = np.stack([hp_to_display(hp[:, 0]), hp_to_display(hp[:, 1])], axis=1)
+        n = len(hp)
+        keep = np.ones(n, dtype=bool)
+        p = pres if pres is not None else np.zeros(n, dtype=bool)
+        ways.append({"id": wid, "hp": hp, "disp": disp, "keep": keep, "pres": p})
+
+    # centers: hp coord value -> list of (way_idx, pos)
+    centers: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for wi, w in enumerate(ways):
+        for pos in range(len(w["hp"])):
+            centers.setdefault((int(w["hp"][pos][0]), int(w["hp"][pos][1])), []).append(
+                (wi, pos)
+            )
+
+    def occ_neighbours(wi, pos):
+        w = ways[wi]
+        idx = np.flatnonzero(w["keep"])
+        at = np.searchsorted(idx, pos)
+        out = []
+        if at > 0:
+            out.append(idx[at - 1])
+        if at + 1 < len(idx):
+            out.append(idx[at + 1])
+        return out
+
+    def set_disp(occs, val):
+        for wi, pos in occs:
+            ways[wi]["disp"][pos] = val
+
+    for _ in range(max_passes):
+        changed = False
+        for key, occs in centers.items():
+            occs_alive = [(wi, pos) for wi, pos in occs if ways[wi]["keep"][pos]]
+            if not occs_alive:
+                continue
+            wi0, pos0 = occs_alive[0]
+            hp_c = ways[wi0]["hp"][pos0]
+            disp_c = ways[wi0]["disp"][pos0]
+            # union of neighbours over every way through the center
+            nbs = [
+                (wi, j)
+                for wi, pos in occs_alive
+                for j in occ_neighbours(wi, pos)
+            ]
+            if not nbs:
+                continue
+            errs = [
+                _bearing_err(hp_c, ways[wi]["hp"][j], disp_c, ways[wi]["disp"][j])
+                for wi, j in nbs
+            ]
+            init_max = max(errs)
+            if init_max < MAX_BEARING_ERROR:
+                continue
+            best_err, best_pos = init_max, None
+            for alt in _alternatives(hp_c[0], hp_c[1], disp_c[0], disp_c[1]):
+                m2 = max(
+                    _bearing_err(hp_c, ways[wi]["hp"][j], np.array(alt), ways[wi]["disp"][j])
+                    for wi, j in nbs
+                )
+                if m2 < best_err:
+                    best_err, best_pos = m2, alt
+            # removal only for single-way, interior, unpreserved,
+            # degree-2 centers
+            remove_err = float("inf")
+            removable = (
+                len(occs_alive) == 1
+                and len(nbs) == 2
+                and pos0 not in (0, len(ways[wi0]["hp"]) - 1)
+                and not ways[wi0]["pres"][pos0]
+            )
+            if removable:
+                (wa, a), (wb, b) = nbs
+                da = ways[wa]["disp"][a]
+                db = ways[wb]["disp"][b]
+                d1 = _bearing(disp_c[0] * _MU, disp_c[1] * _MU, da[0] * _MU, da[1] * _MU)
+                d2 = _bearing(disp_c[0] * _MU, disp_c[1] * _MU, db[0] * _MU, db[1] * _MU)
+                dspl_dev = 180.0 - (180.0 - abs(abs(d1 - d2) - 180.0))
+                ha = ways[wa]["hp"][a]
+                hb = ways[wb]["hp"][b]
+                r1 = _bearing(hp_c[0] * _HP, hp_c[1] * _HP, ha[0] * _HP, ha[1] * _HP)
+                r2 = _bearing(hp_c[0] * _HP, hp_c[1] * _HP, hb[0] * _HP, hb[1] * _HP)
+                real_dev = 180.0 - (180.0 - abs(abs(r1 - r2) - 180.0))
+                if dspl_dev >= 3:
+                    remove_err = abs(real_dev) / 2
+            if (
+                remove_err < best_err
+                and init_max - remove_err >= MAX_BEARING_ERROR_HALF
+                and remove_err < MAX_BEARING_ERROR_HALF
+            ):
+                ways[wi0]["keep"][pos0] = False
+                changed = True
+            elif best_pos is not None and best_err < MAX_BEARING_ERROR:
+                set_disp(occs_alive, np.array(best_pos))
+                changed = True
+            elif remove_err < MAX_BEARING_ERROR and removable:
+                ways[wi0]["keep"][pos0] = False
+                changed = True
+        if not changed:
+            break
+    return {
+        w["id"]: (w["disp"][:, 0], w["disp"][:, 1], w["keep"]) for w in ways
+    }
+
+
+def fix_wrong_angles_grouped(
+    ways: DataFrame, group_col: str = "tile_id", hp: bool = True
+) -> DataFrame:
+    """Cross-way DataFrame form: ways (group_col, id, lats, lons
+    [, preserved]); each group (a tile — the reference's processing
+    unit, bounded size) runs one cross-way fixpoint.  Aggregated
+    JVM-side and batched via mapInPandas (many groups per Arrow batch,
+    same pattern as the sea synthesis).  Output: (group_col, id, lats,
+    lons, n_removed)."""
+    has_pres = "preserved" in ways.columns
+    struct_cols = ["id", "lats", "lons"] + (["preserved"] if has_pres else [])
+    agg = ways.groupBy(group_col).agg(
+        F.collect_list(F.struct(*struct_cols)).alias("ws")
+    )
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                grp = []
+                for wrow in r.ws:
+                    la = np.asarray(wrow["lats"], dtype=np.int64)
+                    lo = np.asarray(wrow["lons"], dtype=np.int64)
+                    if not hp:
+                        la, lo = la << DELTA_SHIFT, lo << DELTA_SHIFT
+                    pres = (
+                        np.asarray(wrow["preserved"], dtype=bool) if has_pres else None
+                    )
+                    grp.append((int(wrow["id"]), la, lo, pres))
+                fixed = fix_group_angles(grp)
+                gval = getattr(r, group_col)
+                for wid, (dla, dlo, keep) in fixed.items():
+                    rows.append(
+                        (
+                            gval,
+                            wid,
+                            dla[keep].astype(np.int32).tolist(),
+                            dlo[keep].astype(np.int32).tolist(),
+                            int((~keep).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[group_col, "id", "lats", "lons", "n_removed"]
+            )
+
+    return agg.mapInPandas(
+        kernel,
+        f"{group_col} long, id long, lats array<int>, lons array<int>, n_removed int",
+    )

@@ -250,3 +250,56 @@ def test_wrong_angle_dataframe(spark):
     for r in out:
         assert len(r["lats"]) >= 2
         assert len(r["lats"]) + r["n_removed"] == 10
+
+
+def test_wrong_angle_cross_way_consistency(spark):
+    """A point shared by two ways must end at ONE display position
+    decided from the union of both ways' neighbours (the reference's
+    CenterOfAngle graph is cross-way) — and zig-zags still improve."""
+    from mkgmap_spark.operators.wrong_angle import (
+        DELTA_SHIFT,
+        fix_group_angles,
+        fix_wrong_angles_grouped,
+        hp_to_display,
+        max_bearing_error,
+    )
+
+    # shallow zig-zag way A and a crossing way B sharing A's point 5
+    n = 12
+    base_lat = 1_000_000 << DELTA_SHIFT
+    a_lats, a_lons = [], []
+    for i in range(n):
+        off = 31 if i % 2 == 0 else 33
+        a_lats.append(base_lat + off)
+        a_lons.append((2_000_000 + i) << DELTA_SHIFT)
+    a_lats = np.array(a_lats, dtype=np.int64)
+    a_lons = np.array(a_lons, dtype=np.int64)
+    shared = (int(a_lats[5]), int(a_lons[5]))
+    b_lats = np.array(
+        [shared[0] - (40 << DELTA_SHIFT), shared[0], shared[0] + (40 << DELTA_SHIFT)],
+        dtype=np.int64,
+    )
+    b_lons = np.array([shared[1], shared[1], shared[1]], dtype=np.int64)
+
+    fixed = fix_group_angles([(1, a_lats, a_lons, None), (2, b_lats, b_lons, None)])
+    dla1, dlo1, keep1 = fixed[1]
+    dla2, dlo2, keep2 = fixed[2]
+    # the shared point survives in BOTH ways at the SAME display coords
+    assert keep1[5] and keep2[1]
+    assert (dla1[5], dlo1[5]) == (dla2[1], dlo2[1])
+    before = max_bearing_error(a_lats, a_lons, hp_to_display(a_lats), hp_to_display(a_lons))
+    after = max_bearing_error(a_lats[keep1], a_lons[keep1], dla1[keep1], dlo1[keep1])
+    assert before >= 15.0 and after < before
+
+    # DataFrame form over groups
+    df = spark.createDataFrame(
+        [
+            (7, 1, a_lats.tolist(), a_lons.tolist()),
+            (7, 2, b_lats.tolist(), b_lons.tolist()),
+        ],
+        "tile_id long, id long, lats array<long>, lons array<long>",
+    )
+    out = {r["id"]: r for r in fix_wrong_angles_grouped(df).collect()}
+    assert set(out) == {1, 2}
+    # way B's mid point still present and equal to way A's point 5
+    assert out[2]["lats"][1] in out[1]["lats"]
