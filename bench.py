@@ -64,6 +64,17 @@ def main() -> None:
         .count()
     )
 
+    def release_storage() -> None:
+        """Drop blocks pinned by the previous query (cache +
+        localCheckpoint RDDs).  Queries are self-contained; without
+        this, checkpoint blocks accumulate across the suite and late
+        queries pay memory pressure that has nothing to do with them."""
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
@@ -77,6 +88,7 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
         rows[name] = n
+        release_storage()
 
     total = round(sum(timings.values()), 4)
     n_docs = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
