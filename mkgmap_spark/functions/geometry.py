@@ -64,6 +64,15 @@ def winding_number(py: np.ndarray, px: np.ndarray, ring_y: np.ndarray, ring_x: n
 
     py/px: (n,) point coords.  ring_y/ring_x: (m,) closed or open ring.
     Returns (n,) int winding numbers.
+
+    The (n, m) edge-broadcast is evaluated in point CHUNKS bounded to
+    ~512k elements: one unchunked call for a 10k-point Arrow batch
+    against a 100-edge ring would allocate several multi-MB
+    temporaries per worker, and with 32 parallel Python workers the
+    PIP stage becomes memory-bandwidth-bound and scales INVERSELY
+    with cores (measured: 6s at local[8] vs 19s at local[32] on the
+    2M-doc flagship).  Chunking keeps the temporaries cache-resident
+    with identical results.
     """
     ry = np.asarray(ring_y, dtype=np.int64)
     rx = np.asarray(ring_x, dtype=np.int64)
@@ -73,19 +82,28 @@ def winding_number(py: np.ndarray, px: np.ndarray, ring_y: np.ndarray, ring_x: n
     m = len(ry)
     if m < 3 or n == 0:
         return np.zeros(n, dtype=np.int64)
-    py = np.asarray(py, dtype=np.int64).reshape(-1, 1)  # (n,1)
-    px = np.asarray(px, dtype=np.int64).reshape(-1, 1)
+    py = np.asarray(py, dtype=np.int64)
+    px = np.asarray(px, dtype=np.int64)
     y1 = ry.reshape(1, -1)                              # (1,m)
     x1 = rx.reshape(1, -1)
     y2 = np.roll(ry, -1).reshape(1, -1)
     x2 = np.roll(rx, -1).reshape(1, -1)
+    dx = x2 - x1
+    dy = y2 - y1
 
-    # cross = (x2-x1)*(py-y1) - (y2-y1)*(px-x1)   sign = side of edge
-    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-    upward = (y1 <= py) & (y2 > py)
-    downward = (y1 > py) & (y2 <= py)
-    wn = np.sum(upward & (cross > 0), axis=1) - np.sum(downward & (cross < 0), axis=1)
-    return wn.astype(np.int64)
+    chunk = max(1, (1 << 19) // m)
+    wn = np.empty(n, dtype=np.int64)
+    for s in range(0, n, chunk):
+        cpy = py[s : s + chunk].reshape(-1, 1)          # (c,1)
+        cpx = px[s : s + chunk].reshape(-1, 1)
+        # cross = (x2-x1)*(py-y1) - (y2-y1)*(px-x1)  sign = side of edge
+        cross = dx * (cpy - y1) - dy * (cpx - x1)
+        upward = (y1 <= cpy) & (y2 > cpy)
+        downward = (y1 > cpy) & (y2 <= cpy)
+        wn[s : s + chunk] = np.sum(upward & (cross > 0), axis=1) - np.sum(
+            downward & (cross < 0), axis=1
+        )
+    return wn
 
 
 def points_in_ring(py: np.ndarray, px: np.ndarray, ring_y: np.ndarray, ring_x: np.ndarray) -> np.ndarray:
