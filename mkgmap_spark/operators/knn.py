@@ -225,13 +225,21 @@ def knn_join(
     k: int,
     gshift: int = 21,
     broadcast_threshold: int = 256,
+    strategy: str | None = None,
     **kwargs,
 ) -> DataFrame:
     """Strategy dispatch, mirroring the reference's in-memory-KdTree vs
     grid-index choice: a right side of bounded size (city lists, border
     posts) broadcasts; anything that scales with the input goes through
-    the cell-ring path (equi-joins only, no cross join at any sf)."""
-    n = right.limit(broadcast_threshold + 1).count()
-    if n <= broadcast_threshold:
+    the cell-ring path (equi-joins only, no cross join at any sf).
+
+    ``strategy`` ('broadcast' | 'cells') skips the cardinality probe
+    (one bounded count action) for call sites that know their side."""
+    if strategy is None:
+        n = right.limit(broadcast_threshold + 1).count()
+        strategy = "broadcast" if n <= broadcast_threshold else "cells"
+    if strategy == "broadcast":
         return knn_join_broadcast(left, right, k, **kwargs)
-    return knn_join_cells(left, right, k, gshift=gshift, **kwargs)
+    if strategy == "cells":
+        return knn_join_cells(left, right, k, gshift=gshift, **kwargs)
+    raise ValueError(f"unknown knn_join strategy {strategy!r}")

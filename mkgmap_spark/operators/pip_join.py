@@ -314,13 +314,21 @@ def pip_join(
     boundaries: DataFrame,
     gshift: int = 16,
     broadcast_threshold: int = 10_000,
+    strategy: str | None = None,
     **kwargs,
 ) -> DataFrame:
     """Strategy dispatch, mirroring the reference's grid+quadtree-index
     vs full-scan choice (BoundaryGrid vs ElementQuadTree): a bounded
     boundary set (admin polygons — the LocationHook case) broadcasts;
-    an sf-scaled one goes through the cell-keyed shuffle join."""
-    n = boundaries.limit(broadcast_threshold + 1).count()
-    if n <= broadcast_threshold:
+    an sf-scaled one goes through the cell-keyed shuffle join.
+
+    ``strategy`` ('broadcast' | 'shuffle') skips the cardinality probe
+    (one bounded count action) for call sites that know their side."""
+    if strategy is None:
+        n = boundaries.limit(broadcast_threshold + 1).count()
+        strategy = "broadcast" if n <= broadcast_threshold else "shuffle"
+    if strategy == "broadcast":
         return pip_join_broadcast(points, boundaries, gshift=gshift, **kwargs)
-    return pip_join_shuffle(points, boundaries, gshift=gshift, **kwargs)
+    if strategy == "shuffle":
+        return pip_join_shuffle(points, boundaries, gshift=gshift, **kwargs)
+    raise ValueError(f"unknown pip_join strategy {strategy!r}")

@@ -111,3 +111,26 @@ def test_pip_join_dispatch(spark):
     got_s = {(r["id"], r["boundary_id"])
              for r in pip_join(pts, bnd, broadcast_threshold=0).collect()}
     assert got_b == got_s == {(1, "b1")}
+
+
+def test_pip_join_strategy_hint(spark):
+    """Explicit strategy skips the cardinality probe and picks the
+    named path; results identical either way."""
+    from mkgmap_spark.operators.pip_join import pip_join
+
+    pts = spark.createDataFrame(
+        [(1, 50, 50), (2, 5000, 5000)], "id long, ay int, ax int"
+    )
+    rings = [{"lats": [0, 0, 100, 100, 0], "lons": [0, 100, 100, 0, 0], "is_hole": False}]
+    bnd = spark.createDataFrame(
+        [("b1", 2, "Box", "P1", rings)],
+        "boundary_id string, admin_level int, name string, postcode string, "
+        "rings array<struct<lats: array<int>, lons: array<int>, is_hole: boolean>>",
+    )
+    for strat in ("broadcast", "shuffle"):
+        got = {(r["id"], r["boundary_id"])
+               for r in pip_join(pts, bnd, strategy=strat).collect()}
+        assert got == {(1, "b1")}, strat
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pip_join(pts, bnd, strategy="nope")
