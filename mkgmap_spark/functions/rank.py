@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.materialize import materialize
+
 _PID = "__gr_pid"
 
 
@@ -51,7 +53,7 @@ def global_rank(
     d = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     counts = {
         r[_PID]: r["cnt"]
@@ -94,7 +96,7 @@ def global_cumsum(
     d = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     totals = {
         r[_PID]: r["s"]

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.geometry import clip_ring, shoelace2
+from ..plans.materialize import materialize
 from .tiling import MAX_DIVISION_SIZE, SHAPE_KIND, Tile, TileIndex
 
 LARGE_OBJECT_DIM = 8192  # MapArea.java:59
@@ -138,7 +139,7 @@ def assign_ways_with_split(
     # eager localCheckpoint instead of persist: raw feeds both the
     # private-tile pass and the returned membership; a persist would
     # outlive the function with no unpersist point
-    raw = raw.localCheckpoint(eager=True)
+    raw = raw.transform(materialize)
 
     # private tiles: deterministic ids — rank by feature id, appended
     # after the shared tiles.  The id->tile mapping stays distributed
@@ -172,7 +173,7 @@ def assign_ways_with_split(
         F.when(F.col("_rk") <= max_private_tiles, F.col("_rk") - 1 + base_tid)
         .otherwise(F.lit(overflow_tid))
         .cast("long"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     tiles_out = list(tiles)
     for r in (

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.materialize import materialize
+
 # odd multipliers for the minhash permutation family (splitmix-style)
 _MH_A = [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93]
 
@@ -107,7 +109,7 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Band-bucket join -> distinct candidate pairs (doc_a < doc_b)."""
     # self-join below: materialize so the signature pipeline runs once
-    signatures = signatures.localCheckpoint(eager=True)
+    signatures = signatures.transform(materialize)
     banded = signatures.select(
         "doc_id",
         F.posexplode(
@@ -142,7 +144,7 @@ def jaccard_verify(
         "doc_id", F.array_distinct(_shingles_from_tokens("_toks", shingle_k)).alias("sh")
     )
     # joined twice (a and b side) — compute the shingle sets once
-    sh = sh.localCheckpoint(eager=True)
+    sh = sh.transform(materialize)
     j = (
         candidates.join(sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
@@ -231,7 +233,7 @@ def minhash_pairs_md5(
     sigs = d.select("doc_id", F.array_distinct("_sh").alias("_shd"), sig.alias("signature"))
     # banded self-joins below: materialize once or the shingle+md5+
     # signature pipeline (the expensive part) runs for BOTH join sides
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = sigs.transform(materialize)
     banded = sigs.select(
         "doc_id",
         "_shd",
@@ -417,7 +419,7 @@ def simhash_near_dups(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     # re-run the upstream fingerprint computation (token hashing is
     # the expensive part).  The fingerprint table is 2 narrow columns
     # per doc — tiny next to the corpus it came from.
-    fps = fps.localCheckpoint(eager=True)
+    fps = fps.transform(materialize)
     banded = fps.select(
         "doc_id",
         "simhash",

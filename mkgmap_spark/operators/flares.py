@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.materialize import materialize
+
 WARN_OUT_DIR = "outgoing-wrong-direction"
 WARN_IN_DIR = "incoming-wrong-direction"
 WARN_OUT_ONEWAY = "outgoing-not-oneway"
@@ -63,7 +65,7 @@ def check_roundabout_flares(
     a = arcs.select(
         "from_id", "to_id", "road_id", "roundabout", "oneway", "forward",
         F.col("length").cast("long").alias("length"), "flare_check", "synthesised",
-    ).localCheckpoint()
+    ).transform(materialize)
 
     # per-node marks (checkRoundaboutFlares:560-571)
     connects = (
@@ -81,7 +83,7 @@ def check_roundabout_flares(
             F.col("_n.to_id").alias("nxt"),
             F.col("_n.length").alias("nxt_len"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
 
     # walk 1: n -> first node connecting a non-roundabout segment
@@ -109,11 +111,11 @@ def check_roundabout_flares(
                 (F.col("seg") + F.col("nxt_len")).alias("seg"),
             )
             .filter(F.col("cur") != F.col("start"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         if frontier.isEmpty():
             break
-    settled = (settled if settled is not None else frontier.limit(0)).localCheckpoint()
+    settled = (settled if settled is not None else frontier.limit(0)).transform(materialize)
 
     # walk 2: roundaboutSegmentLength(nb, n) (RouteNode:505-527) —
     # forward roundabout walk from nb until n; unreachable/hop-capped
@@ -136,7 +138,7 @@ def check_roundabout_flares(
                 F.col("nxt").alias("cur"),
                 (F.col("acc") + F.col("nxt_len")).alias("acc"),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
         if rev.isEmpty():
             break
@@ -148,7 +150,7 @@ def check_roundabout_flares(
     # only the shorter roundabout segment checks its flare (:610-612)
     pairs = pairs.filter(
         F.col("seg_bw").isNull() | (F.col("seg_fw") < F.col("seg_bw"))
-    ).localCheckpoint()
+    ).transform(materialize)
 
     flare = a.filter(F.col("flare_check"))
     fa = flare.select(

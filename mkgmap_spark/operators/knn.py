@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.cells import CELL_OFFSET, CELL_SPAN
+from ..plans.materialize import materialize
 
 
 def _dist2(ly, lx, ry, rx):
@@ -188,7 +189,7 @@ def knn_join_cells(
         done = best.join(done_ids.select(left_id), left_id, "left_semi")
         # materialize this round's finished rows so the superseded
         # caches can be dropped without recompute next round
-        results.append(done.select(left_id, right_id, "dist2").localCheckpoint(eager=True))
+        results.append(done.select(left_id, right_id, "dist2").transform(materialize))
         pending = pending.join(done_ids.select(left_id), left_id, "left_anti").persist()
         pending_cache = pending
         best = best.join(done_ids.select(left_id), left_id, "left_anti")

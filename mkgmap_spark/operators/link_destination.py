@@ -46,6 +46,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.materialize import materialize
+
 LINK_TYPES = (
     "motorway_link", "trunk_link", "primary_link", "secondary_link", "tertiary_link"
 )
@@ -314,8 +316,8 @@ def process_link_destinations(
     # and the split consumes it again — without a checkpoint the whole
     # ladder lineage recomputes per reference (measured ~4x the work)
     links = (
-        w.filter(F.col("is_link") & F.col("dest_hint").isNotNull()).localCheckpoint()
+        w.filter(F.col("is_link") & F.col("dest_hint").isNotNull()).transform(materialize)
     )
     links = dedup_chain_hints(links)
-    links = links.filter(F.col("fwd_oneway") | F.col("rev_oneway")).localCheckpoint()
+    links = links.filter(F.col("fwd_oneway") | F.col("rev_oneway")).transform(materialize)
     return split_hint_ways(links, metric=metric)

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.materialize import materialize
+
 PLACE_COLS = ("id", "name", "city", "region", "country", "zip", "is_in", "lat", "lon")
 
 
@@ -103,7 +105,7 @@ def autofill_cities(
     """
     if "is_in" not in autofill and "nearest" not in autofill:
         return places
-    cur = places.select(*PLACE_COLS).localCheckpoint()
+    cur = places.select(*PLACE_COLS).transform(materialize)
     for run in range(runs):
         last = run == runs - 1
         cities = _city_index(cur)
@@ -158,5 +160,5 @@ def autofill_cities(
             unresolved = unresolved.withColumn("city", F.coalesce("city", "name"))
         cur = resolved.select(*PLACE_COLS).unionByName(
             unresolved.select(*PLACE_COLS)
-        ).localCheckpoint()
+        ).transform(materialize)
     return cur

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.geometry import points_in_ring
+from ..plans.materialize import materialize
 
 
 def resolve_members(relations: DataFrame, features: DataFrame) -> DataFrame:
@@ -238,7 +239,7 @@ def apply_pushed_to_members(
         # updates once and truncates lineage, so no persisted cache
         # accumulates across rounds (blocks are freed by the context
         # cleaner when the handle goes out of scope)
-        result = d.mapInPandas(run_batches, _PUSH_APPLY_SCHEMA).localCheckpoint(eager=True)
+        result = d.mapInPandas(run_batches, _PUSH_APPLY_SCHEMA).transform(materialize)
         upd = result.select("kind", "id", F.col("tags").alias("_new_tags"))
         features = (
             features.join(upd, ["kind", "id"], "left")

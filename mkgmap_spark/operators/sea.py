@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.materialize import materialize
+
 
 def coastline_components(
     ways: DataFrame,
@@ -55,7 +57,7 @@ def coastline_components(
             )
         ).alias("ep"),
     )
-    cur = pts.localCheckpoint()
+    cur = pts.transform(materialize)
     prev_sum = None
     for _ in range(max_rounds):
         ep_min = cur.groupBy("ep").agg(F.min("label").alias("_m"))
@@ -72,7 +74,7 @@ def coastline_components(
         )
         # materialize per round: an unbounded iterative lineage makes
         # Catalyst re-analyze an exponentially growing plan
-        cur = cur.localCheckpoint()
+        cur = cur.transform(materialize)
         s = cur.agg(F.sum("label")).collect()[0][0]
         if s == prev_sum:  # converged (labels only ever decrease)
             break

@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.materialize import materialize
+
 
 def brute_force_topk(
     embeddings: DataFrame,
@@ -374,7 +376,7 @@ def embedding_near_dups(
         )
     )
     # self-join ahead: materialize the signatures once
-    base = base.localCheckpoint(eager=True)
+    base = base.transform(materialize)
     banded = base.select(
         "vid",
         "v",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.cells import CELL_OFFSET, CELL_SPAN
+from .plans.materialize import materialize
 
 # deterministic key->coordinate scatter (Knuth multiplicative constants)
 C_LAT = 2654435761
@@ -1514,7 +1515,7 @@ def q_turn_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and without it each branch re-runs the rank window
     n = global_rank(o.select("o_orderkey"), ["o_orderkey"], out="n").select(
         "n"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     nodes = n.select(
         F.col("n").alias("id"), lat_col("n").cast("int").alias("lat"), lon_col("n").cast("int").alias("lon")
     )
