@@ -221,8 +221,8 @@ def _compile_filter(cmd: str, arg: str, v: str, lt: str) -> str:
             )
         return f"if({v} is null or {n} < {abs(pn)}, cast(null as string), {picked})"
     if cmd in ("ascii", "latin1"):
-        # full reference tables below U+3000 (TableTransliterator rows
-        # data, constant-folded str_to_map); CJK+ compiles to '?' —
+        # COMPLETE reference tables incl. CJK pinyin (TableTransliterator
+        # rows data, constant-folded str_to_map) —
         # divergence documented in functions/translit.py
         from ..functions.translit import sql_translit_expr
 

@@ -55,16 +55,17 @@ def test_known_entries():
     assert transliterate("æß", "latin1") == "æß"
 
 
-def test_inline_twin_diverges_only_above_limit():
+def test_inline_twin_full_table():
+    """Since round 4 the inline limit sits beyond Unicode: the twin
+    equals the full-table kernel everywhere (CJK pinyin included)."""
+    assert SQL_INLINE_LIMIT > 0x10FFFF
     table = merged_table("ascii")
     for cp, want in list(table.items())[::211]:
         got = transliterate_inline(chr(cp), "ascii")
         if cp <= 0x7F:
             continue
-        if cp >= SQL_INLINE_LIMIT:
-            assert got == "?"
-        else:
-            assert got == want, hex(cp)
+        assert got == want, hex(cp)
+    assert transliterate_inline("北京") == transliterate("北京") == "BeiJing"
 
 
 def test_sql_expr_matches_python_twin(spark):
