@@ -102,3 +102,20 @@ def test_full_front_door_to_tiles(spark, tmp_path):
     result = tiling.split_level(provider, shift=0)
     members = tiling.assign_tiles(prepared, result.index, resolution=24, level=0)
     assert members.count() == n_feats
+
+
+def test_read_osm_gz(spark, tmp_path):
+    """.osm.gz inputs decompress transparently (the reference reads
+    .osm.gz/.bz2, OsmMapDataSource; Spark's text source handles the
+    codec by extension)."""
+    import gzip
+
+    from mkgmap_spark.sources.osm_xml import read_osm_xml
+
+    with gzip.open(tmp_path / "t.osm.gz", "wt") as f:
+        f.write(
+            "<osm><node id='1' lat='1.0' lon='2.0'>"
+            "<tag k='amenity' v='cafe'/></node></osm>"
+        )
+    rows = read_osm_xml(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0]["tags"]["amenity"] == "cafe"

@@ -183,3 +183,20 @@ def test_read_polish_restrictions_spark(spark, tmp_path):
     rows = read_polish_restrictions(spark, d).collect()
     assert len(rows) == 1
     assert rows[0]["via_node"] == 2 and rows[0]["to_road"] == 11
+
+
+def test_read_polish_gz(spark, tmp_path):
+    """.mp.gz inputs decompress transparently (the reference's
+    isFileSupported accepts .mp.gz)."""
+    import gzip
+    import os
+
+    d = tmp_path / "mp"
+    os.makedirs(d)
+    with gzip.open(d / "t.mp.gz", "wt") as f:
+        f.write(
+            "[IMG ID]\nID=1\n[END-IMG ID]\n"
+            "[POI]\nType=0x2a\nLabel=Z\nData0=(1.0,2.0)\n[END]\n"
+        )
+    rows = read_polish(spark, str(d)).collect()
+    assert len(rows) == 1 and rows[0]["label"] == "Z"
