@@ -305,11 +305,20 @@ def exit_hints(
 
 
 def process_link_destinations(
-    ways: DataFrame, metric: str = "equirect"
+    ways: DataFrame,
+    nodes: DataFrame | None = None,
+    metric: str = "equirect",
 ) -> DataFrame:
     """process-destination end-to-end: ladder -> chain dedup ->
     oneway/link filter -> 3-part split.  ways: (id, tags, lats, lons).
-    Output: the split part rows of every hinted link."""
+    Output: the split part rows of every hinted link.
+
+    With ``nodes`` (process-exits alongside): exit-adjacent link ways
+    are handled by the EXIT path and removed from plain destination
+    processing first (the reference's
+    ``destinationLinkWays.remove(w.getId())`` inside the exit loop,
+    processWays:556) — their split rows carry the exit-hint attributes
+    on the 'hint' part instead."""
     w = select_dest_hint(ways)
     # materialize once: the dedup self-join references the ladder
     # output three times (upstream side, start side, anti-join back)
@@ -318,6 +327,42 @@ def process_link_destinations(
     links = (
         w.filter(F.col("is_link") & F.col("dest_hint").isNotNull()).transform(materialize)
     )
+    exit_rows = None
+    if nodes is not None:
+        exit_rows = materialize(exit_hints(ways, nodes, metric=metric))
+        links = links.join(
+            exit_rows.select(F.col("way_id").alias("id")).distinct(), "id", "left_anti"
+        )
     links = dedup_chain_hints(links)
     links = links.filter(F.col("fwd_oneway") | F.col("rev_oneway")).transform(materialize)
-    return split_hint_ways(links, metric=metric)
+    parts = split_hint_ways(links, metric=metric)
+    if exit_rows is None:
+        return parts
+
+    # exit-adjacent oneway links split the same way, their 'hint' part
+    # tagged with the exit attributes (processWays:569-616)
+    exit_links = (
+        select_dest_hint(ways)
+        .join(exit_rows.select(F.col("way_id").alias("id")).distinct(), "id")
+        .filter(F.col("is_link") & (F.col("fwd_oneway") | F.col("rev_oneway")))
+    )
+    exit_parts = split_hint_ways(exit_links, metric=metric)
+    attrs = exit_rows.select(
+        F.col("way_id").alias("id"), "exit_hint_ref", "exit_hint_exit_to",
+        "exit_hint_name",
+    ).dropDuplicates(["id"])
+    exit_parts = exit_parts.join(attrs, "id", "left").select(
+        "id", "part", "role", "lats", "lons", "dest_hint",
+        F.when(F.col("role") == "hint", F.lit(True)).alias("exit_hint"),
+        F.when(F.col("role") == "hint", F.col("exit_hint_ref")).alias("exit_hint_ref"),
+        F.when(F.col("role") == "hint", F.col("exit_hint_exit_to")).alias("exit_hint_exit_to"),
+        F.when(F.col("role") == "hint", F.col("exit_hint_name")).alias("exit_hint_name"),
+    )
+    plain = parts.select(
+        "id", "part", "role", "lats", "lons", "dest_hint",
+        F.lit(None).cast("boolean").alias("exit_hint"),
+        F.lit(None).cast("string").alias("exit_hint_ref"),
+        F.lit(None).cast("string").alias("exit_hint_exit_to"),
+        F.lit(None).cast("string").alias("exit_hint_name"),
+    )
+    return plain.unionByName(exit_parts)

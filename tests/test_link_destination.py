@@ -146,3 +146,37 @@ def test_exit_hints(spark):
     )
     out = exit_hints(ways_end, nodes).collect()
     assert len(out) == 1 and out[0]["exit_hint_exit_to"] == "Centre"
+
+
+def test_integrated_exits_and_destinations(spark):
+    """With nodes supplied, exit-adjacent links leave plain destination
+    processing (processWays:556) and re-emerge as exit-tagged splits."""
+    ways = spark.createDataFrame(
+        [
+            (1, {"highway": "motorway"}, [0, 0], [0, 1000]),
+            # exit-adjacent link (from the junction node)
+            (2, {"highway": "motorway_link", "oneway": "yes",
+                 "destination": "Mitte"}, [0, 0], [1000, 61000]),
+            # plain link elsewhere
+            (3, {"highway": "motorway_link", "oneway": "yes",
+                 "destination": "Nord"}, [90000, 90000], [0, 60000]),
+        ],
+        WAYS_SCHEMA,
+    )
+    nodes = spark.createDataFrame(
+        [(10, {"highway": "motorway_junction", "ref": "7"}, 0, 1000)],
+        "node_id long, tags map<string,string>, lat int, lon int",
+    )
+    out = process_link_destinations(ways, nodes=nodes, metric="planar").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["id"], {})[r["role"]] = r
+    assert set(by) == {2, 3}
+    # way 2: exit path — hint part carries the exit attributes
+    h2 = by[2]["hint"]
+    assert h2["exit_hint"] is True and h2["exit_hint_ref"] == "7"
+    assert h2["dest_hint"] == "Mitte"  # dest text still available
+    assert by[2]["approach"]["exit_hint"] is None
+    # way 3: plain destination path, no exit attrs
+    h3 = by[3]["hint"]
+    assert h3["dest_hint"] == "Nord" and h3["exit_hint"] is None
