@@ -1,0 +1,147 @@
+"""Ports of the reference's own JUnit cases against the engine's
+kernels: LineClipperTest, CoordTest (rhumb bearing / haversine),
+KdTreeTest (nearest-point parity), LineSplitterFilterTest (sizes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mkgmap_spark.functions.bearing import rhumb_bearing_rad_deg
+from mkgmap_spark.functions.geometry import clip_polyline, distance_haversine_m
+from mkgmap_spark.mapunits import to_map_unit
+
+_RAD_PER_DEG = np.pi / 180.0
+
+
+def _clip_int(lats, lons, bbox):
+    # Java Math.round = floor(x + 0.5), the reference's re-quantization
+    parts = clip_polyline(np.asarray(lats), np.asarray(lons), bbox)
+    return [
+        [(int(np.floor(y + 0.5)), int(np.floor(x + 0.5))) for y, x in zip(pl, px)]
+        for pl, px in parts
+    ]
+
+
+# ---------------------------------------------------- LineClipperTest
+def test_lineclipper_example_clip():
+    """testExampleClip: the Liang-Barsky reference example, integer
+    truncation of the 101.425 intersection."""
+    # Area(60, 70, 150, 230) = (minLat, minLon, maxLat, maxLon)
+    parts = _clip_int([20, 160], [30, 280], (60, 70, 150, 230))
+    assert parts == [[(60, 101), (132, 230)]]
+
+
+def test_lineclipper_list_clip():
+    """testListClip: enter, leave, re-enter -> exactly two lines."""
+    lats = [20, 40, 102, 150, 210, 190]
+    lons = [30, 60, 110, 150, 220, 135]
+    parts = _clip_int(lats, lons, (100, 100, 200, 200))
+    assert len(parts) == 2
+    assert parts[0] == [(100, 108), (102, 110), (150, 150), (193, 200)]
+    assert parts[1] == [(200, 178), (190, 135)]
+
+
+def test_lineclipper_all_inside():
+    """testAllInside: wholly-inside input is reported as unclipped
+    (the reference returns null; the kernel returns the single part
+    identical to the input)."""
+    lats = [102, 150, 190]
+    lons = [110, 150, 195]
+    parts = _clip_int(lats, lons, (100, 100, 200, 200))
+    assert parts == [list(zip(lats, lons))]
+
+
+# -------------------------------------------------------- CoordTest
+def _bearing_deg(lat1, lon1, lat2, lon2):
+    return rhumb_bearing_rad_deg(
+        lat1 * _RAD_PER_DEG, lon1 * _RAD_PER_DEG, lat2 * _RAD_PER_DEG, lon2 * _RAD_PER_DEG
+    )
+
+
+def test_coord_bearing_rhumb():
+    """CoordTest.testBearingRhumb."""
+    assert _bearing_deg(33.95, -118.4, 40.6333333333, -73.7833333333) == pytest.approx(79.32388, abs=0.1)
+    assert _bearing_deg(0.0, 10.0, 1.0, 10.0) == pytest.approx(0.0, abs=0.001)
+    assert _bearing_deg(1.0, 10.0, 1.0, 11.0) == pytest.approx(90.0, abs=0.001)
+    assert _bearing_deg(0.0, 10.0, 1.0, 11.0) == pytest.approx(44.99861, abs=0.001)
+    assert _bearing_deg(60.0, 10.0, 61.0, 11.0) == pytest.approx(26.214722, abs=0.001)
+
+
+def test_coord_distance_haversine():
+    """CoordTest.testDistanceGC (values already scaled to Coord.R =
+    6378137 in the reference assertions)."""
+    R_RATIO = 6378137.0 / 6371000.0
+
+    def hav(a, b, c, d):
+        return float(
+            distance_haversine_m(
+                to_map_unit(a), to_map_unit(b), to_map_unit(c), to_map_unit(d)
+            )
+        )
+
+    assert hav(33.95, -118.4, 40.6333333333, -73.7833333333) == pytest.approx(
+        3973000 * R_RATIO, abs=1000
+    )
+    assert hav(1.0, 10.0, 1.0, 11.0) == pytest.approx(111300 * R_RATIO, abs=200)
+    assert hav(0.0, 10.0, 1.0, 10.0) == pytest.approx(111300 * R_RATIO, abs=200)
+    assert hav(0.0, 10.0, 1.0, 11.0) == pytest.approx(157400 * R_RATIO, abs=300)
+    assert hav(60.0, 10.0, 61.0, 11.0) == pytest.approx(124100 * R_RATIO, abs=300)
+
+
+# -------------------------------------------------------- KdTreeTest
+def test_kdtree_nearest_parity(spark):
+    """KdTreeTest.TestFindNextPoint: the engine's kNN (k=1) must find a
+    point at EXACTLY the naive-scan minimum distance for every probe of
+    a coordinate grid (the reference sweeps 200x200 probes; a coarser
+    sweep keeps the Spark job small with the same property)."""
+    from mkgmap_spark.operators.knn import knn_join
+
+    ref = [(70, 20), (50, 40), (90, 60), (20, 30), (40, 70), (80, 10), (-10, 20), (-30, -40)]
+    probes = [(x, y) for x in range(-100, 100, 5) for y in range(-100, 100, 5)]
+    left = spark.createDataFrame(
+        [(i, y, x) for i, (y, x) in enumerate(probes)], "id long, ay int, ax int"
+    )
+    right = spark.createDataFrame(
+        [(i, y, x) for i, (y, x) in enumerate(ref)], "rid long, ry int, rx int"
+    )
+    got = {
+        r["id"]: r["dist2"]
+        for r in knn_join(left, right, k=1, strategy="broadcast").collect()
+    }
+    ry = np.array([p[0] for p in ref], dtype=np.int64)
+    rx = np.array([p[1] for p in ref], dtype=np.int64)
+    for i, (py, px) in enumerate(probes):
+        want = int(((ry - py) ** 2 + (rx - px) ** 2).min())
+        assert got[i] == want, (i, py, px)
+
+
+# ---------------------------------------------- LineSplitterFilterTest
+def test_linesplitter_sizes_sweep(spark):
+    """LineSplitterFilterTest.testSizes: for every length n the split
+    must (a) conserve the points (parts chain, shared endpoints), (b)
+    keep every part <= MAX, and (c) use the minimal part count
+    1 + ceil((n - MAX) / (MAX - 1)) — all lengths in ONE job."""
+    from mkgmap_spark.operators.simplify import split_long_lines
+
+    MAX = 250
+    ns = list(range(2, 1251, 7))
+    rows = [(n, list(range(n)), list(range(n))) for n in ns]
+    df = spark.createDataFrame(rows, "id long, lats array<int>, lons array<int>")
+    out = split_long_lines(df, max_points=MAX).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    for n in ns:
+        parts = sorted(by_id[n], key=lambda r: r["part"])
+        sizes = [len(p["lats"]) for p in parts]
+        assert all(s <= MAX + 1 for s in sizes), n  # parts share endpoints
+        rem = n - MAX
+        needed = 1
+        if rem > 0:
+            needed += rem // (MAX - 1) + (1 if rem % (MAX - 1) else 0)
+        assert len(parts) == needed, (n, len(parts))
+        assert sum(sizes) - (len(parts) - 1) == n, n
+        for a, b in zip(parts, parts[1:]):
+            assert a["lats"][-1] == b["lats"][0], n
