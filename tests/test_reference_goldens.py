@@ -1,6 +1,7 @@
 """Ports of the reference's own JUnit cases against the engine's
 kernels: LineClipperTest, CoordTest (rhumb bearing / haversine),
-KdTreeTest (nearest-point parity), LineSplitterFilterTest (sizes)."""
+KdTreeTest (nearest-point parity), LineSplitterFilterTest (sizes),
+ShapeMergeFilterTest (merge variants)."""
 
 from __future__ import annotations
 
@@ -26,8 +27,8 @@ def _clip_int(lats, lons, bbox):
 
 # ---------------------------------------------------- LineClipperTest
 def test_lineclipper_example_clip():
-    """testExampleClip: the Liang-Barsky reference example, integer
-    truncation of the 101.425 intersection."""
+    """testExampleClip: the Liang-Barsky reference example; the 101.425
+    intersection re-quantizes by Java rounding."""
     # Area(60, 70, 150, 230) = (minLat, minLon, maxLat, maxLon)
     parts = _clip_int([20, 160], [30, 280], (60, 70, 150, 230))
     assert parts == [[(60, 101), (132, 230)]]
@@ -145,3 +146,64 @@ def test_linesplitter_sizes_sweep(spark):
         assert sum(sizes) - (len(parts) - 1) == n, n
         for a, b in zip(parts, parts[1:]):
             assert a["lats"][-1] == b["lats"][0], n
+
+
+# ---------------------------------------------- ShapeMergeFilterTest
+def test_shapemerge_variants(spark):
+    """ShapeMergeFilterTest: two shapes sharing one point / one edge /
+    three consecutive points merge into ONE shape with the expected
+    point count, under every rotation and orientation of both rings
+    (the reference's testVariants sweep).  The engine reports open-ring
+    counts (reference counts include the closing duplicate, hence -1);
+    signed area conservation is asserted by the kernel itself."""
+    from mkgmap_spark.operators.merge import merge_shapes
+
+    fixtures = {
+        # name -> (shape1, shape2, expected rings, expected OPEN points)
+        "one-point": (
+            [(15, 10), (30, 25), (25, 30), (10, 30), (5, 20), (15, 10)],
+            [(25, 30), (30, 35), (20, 40), (15, 35), (25, 30)],
+            1, 9,
+        ),
+        "one-edge": (
+            [(15, 10), (30, 25), (25, 30), (15, 35), (5, 20), (15, 10)],
+            [(25, 30), (30, 35), (20, 40), (15, 35), (25, 30)],
+            1, 7,
+        ),
+        "three-points": (
+            [(15, 10), (30, 25), (25, 30), (20, 35), (15, 35), (5, 20), (15, 10)],
+            [(25, 30), (30, 35), (20, 40), (15, 35), (20, 35), (25, 30)],
+            1, 7,
+        ),
+    }
+
+    def variants(pts):
+        open_pts = pts[:-1]
+        for rev in (False, True):
+            p = list(reversed(open_pts)) if rev else list(open_pts)
+            for rot in range(len(p)):
+                q = p[rot:] + p[:rot]
+                yield q + [q[0]]
+
+    rows = []
+    expect = {}
+    vid = 0
+    for name, (a, b, n_rings, n_open) in fixtures.items():
+        for va in variants(a):
+            for vb in variants(b):
+                key = f"{name}:{vid}"
+                rows.append((1, key, [p[0] for p in va], [p[1] for p in va]))
+                rows.append((2, key, [p[0] for p in vb], [p[1] for p in vb]))
+                expect[key] = (n_rings, n_open)
+                vid += 1
+    df = spark.createDataFrame(rows, "id long, typ string, lats array<int>, lons array<int>")
+    out = merge_shapes(df, ["typ"]).collect()
+    got: dict[str, list] = {}
+    for r in out:
+        got.setdefault(r["typ"], []).append(r)
+    assert set(got) == set(expect)
+    for key, (n_rings, n_open) in expect.items():
+        rings = got[key]
+        assert len(rings) == n_rings, key
+        assert rings[0]["n_points"] == n_open, (key, rings[0]["n_points"])
+        assert sorted(rings[0]["member_ids"]) == [1, 2], key
