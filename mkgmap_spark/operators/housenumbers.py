@@ -345,3 +345,121 @@ def housenumber_intervals_split(projected: DataFrame) -> DataFrame:
             "n_houses", "t_start", "t_end",
         )
     )
+
+
+# ------------------------------------------------------------------
+# Garmin number-interval spec (imgfmt/app/net/Numbers.java)
+# ------------------------------------------------------------------
+
+# max plausible |start - end| (Numbers.java:28, per NumberPreparer)
+NUMBERS_MAX_DELTA = 131071
+
+
+class Numbers:
+    """The reference's per-node numbering interval record, as written
+    by the Polish reader's ``Numbers<i>=`` lines and produced by the
+    housenumber generator:
+
+        node,leftStyle,leftStart,leftEnd,rightStyle,rightStart,rightEnd
+        [,leftZip,rightZip[,city info...]]
+
+    Styles: N one, E ven, O dd, B oth ('0' tolerated as O,
+    NumberStyle.fromChar).  Implements the reference's plausibility
+    checks (style/parity per side, interval overlap between sides
+    unless zip/city distinguish them, the single-number-both-sides
+    exemption) and per-number matching (Numbers.isPlausible:299-353,
+    countMatches:367-378, NumDesc.contained:56-70)."""
+
+    def __init__(self, spec: str):
+        f = spec.split(",")
+        self.node = int(f[0])
+        self.left_style = _style_from_char(f[1])
+        self.left_start = int(f[2])
+        self.left_end = int(f[3])
+        self.right_style = _style_from_char(f[4])
+        self.right_start = int(f[5])
+        self.right_end = int(f[6])
+        self.left_zip = f[7] if len(f) > 8 and f[7] != "-1" else None
+        self.right_zip = f[8] if len(f) > 8 and f[8] != "-1" else None
+        self.left_city = self.right_city = None
+        if len(f) > 9:
+            pos = 9
+            if f[pos] != "-1":
+                self.left_city = tuple(f[pos : pos + 3])
+                pos = 12
+            else:
+                pos = 10
+            if len(f) > pos and f[pos] != "-1":
+                self.right_city = tuple(f[pos : pos + 3])
+
+    def is_plausible(self) -> bool:
+        for style, start, end in (
+            (self.left_style, self.left_start, self.left_end),
+            (self.right_style, self.right_start, self.right_end),
+        ):
+            if abs(start - end) > NUMBERS_MAX_DELTA:
+                return False
+            if style == "E" and (start % 2 != 0 or end % 2 != 0):
+                return False
+            if style == "O" and (start % 2 == 0 or end % 2 == 0):
+                return False
+        if self.left_style == "N" or self.right_style == "N":
+            return True
+        if self.left_city is not None:
+            if self.left_city != self.right_city:
+                return True
+        elif self.right_city is not None:
+            return True
+        if self.left_zip is not None:
+            if self.left_zip != self.right_zip:
+                return True
+        elif self.right_city is not None:  # sic — mirrors :315
+            return True
+        if (
+            self.left_style == self.right_style
+            or self.left_style == "B"
+            or self.right_style == "B"
+        ):
+            s1, e1 = sorted((self.left_start, self.left_end))
+            s2, e2 = sorted((self.right_start, self.right_end))
+            if s2 > e1 or e2 < s1:
+                return True
+            if (
+                self.left_start == self.left_end
+                and self.right_start == self.right_end
+                and self.left_start == self.right_start
+            ):
+                return True  # single number on both sides
+            return False
+        return True
+
+    def _contained(self, hn: int, left: bool) -> bool:
+        style, start, end = (
+            (self.left_style, self.left_start, self.left_end)
+            if left
+            else (self.right_style, self.right_start, self.right_end)
+        )
+        if style == "N":
+            return False
+        is_even = hn % 2 == 0
+        if style == "B" or (style == "E" and is_even) or (style == "O" and not is_even):
+            lo, hi = sorted((start, end))
+            return lo <= hn <= hi
+        return False
+
+    def count_matches(self, hn: int) -> int:
+        matches = int(self._contained(hn, True)) + int(self._contained(hn, False))
+        if (
+            matches > 1
+            and self.left_start == self.left_end
+            and self.right_start == self.right_end
+        ):
+            matches = 1  # single number on both sides
+        return matches
+
+
+def _style_from_char(s: str) -> str:
+    c = s[0] if s else "N"
+    if c == "0":
+        return "O"  # zero instead of capital O (NumberStyle.fromChar:64-66)
+    return c if c in "NEOB" else "N"

@@ -207,3 +207,71 @@ def test_shapemerge_variants(spark):
         assert len(rings) == n_rings, key
         assert rings[0]["n_points"] == n_open, (key, rings[0]["n_points"])
         assert sorted(rings[0]["member_ids"]) == [1, 2], key
+
+
+# -------------------------------------------------------- NumbersTest
+def test_numbers_plausibility():
+    """NumbersTest: the full plausibility matrix for number-interval
+    specs (imgfmt/app/net/NumbersTest.java), via the engine's Numbers
+    record — the same strings the Polish reader's Numbers<i>= lines
+    carry."""
+    from mkgmap_spark.operators.housenumbers import Numbers
+
+    plausible = [
+        "0,O,1,7,E,2,12",        # odd/even overlap is fine
+        "0,B,1,7,B,8,15",        # both/both no overlap
+        "0,B,1,7,E,8,16",        # both/even no overlap
+        "0,B,10012,10024,N,0,0", # large numbers in range
+        "0,O,15,15,O,15,15",     # single number both sides
+        "0,O,15,15,O,13,13",     # single different number each side
+    ]
+    implausible = [
+        "0,B,1,7,E,8,15",        # even style with odd number
+        "0,B,1,7,B,7,16",        # overlap at start/end
+        "0,B,1,7,E,6,16",        # both/even overlap
+        "0,B,10012,1000240,N,0,0",  # delta beyond MAX_DELTA
+        "0,B,10,23,O,15,15",     # single number inside other side
+        "0,O,15,15,B,10,23",
+        "0,O,13,15,O,15,15",     # single number equals other end
+        "0,O,15,15,O,13,15",
+        "0,O,15,13,O,15,15",
+        "0,O,15,15,O,15,13",
+    ]
+    for spec in plausible:
+        assert Numbers(spec).is_plausible(), spec
+    for spec in implausible:
+        assert not Numbers(spec).is_plausible(), spec
+
+
+def test_numbers_count_matches():
+    """NumbersTest.testCountMatchesValid / testCountMatchesGap."""
+    from mkgmap_spark.operators.housenumbers import Numbers
+
+    n = Numbers("0,O,1,7,E,2,12")
+    assert n.count_matches(1) == 1
+    assert n.count_matches(13) == 0
+    g = Numbers("0,B,1,7,B,9,12")
+    assert g.count_matches(1) == 1
+    assert g.count_matches(7) == 1
+    assert g.count_matches(8) == 0
+    assert g.count_matches(13) == 0
+
+
+def test_numbers_from_polish_source():
+    """The Polish reader's raw Numbers<i>= strings parse into the same
+    record ('0' tolerated as odd, NumberStyle.fromChar:64-66)."""
+    from mkgmap_spark.operators.housenumbers import Numbers
+    from mkgmap_spark.sources.polish import parse_mp
+
+    feats, _ = parse_mp(
+        "[IMG ID]\nID=1\n[END-IMG ID]\n"
+        "[POLYLINE]\nType=0x06\nRoadID=1\n"
+        "Numbers1=0,O,1,9,E,2,10\nNumbers2=1,0,11,15,N,-1,-1\n"
+        "Data0=(0.0,0.0),(0.001,0.001)\n[END]\n"
+    )
+    nums = [Numbers(s) for s in feats[0]["numbers"]]
+    assert nums[0].left_style == "O" and nums[0].right_end == 10
+    assert nums[0].is_plausible()
+    assert nums[1].left_style == "O"  # '0' tolerated
+    assert nums[1].right_style == "N"
+    assert nums[1].node == 1
