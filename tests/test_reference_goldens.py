@@ -275,3 +275,50 @@ def test_numbers_from_polish_source():
     assert nums[1].left_style == "O"  # '0' tolerated
     assert nums[1].right_style == "N"
     assert nums[1].node == 1
+
+
+# --------------------------------------------- RestrictionRelationTest
+def test_restriction_except_masks(spark):
+    """RestrictionRelationTest's except-mask matrix (basic/foot/
+    foot+bike/psv/multiple/unknown/explicit-vehicle cases) through the
+    engine's turn_restrictions."""
+    from mkgmap_spark.operators.routing import turn_restrictions
+
+    FOOT, BIKE, CAR, TRUCK, BUS, TAXI, EMERGENCY = 1, 2, 4, 16, 32, 64, 128
+    DEFAULT = FOOT | EMERGENCY
+
+    nodes = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 1000), (3, 0, 2000)], "id long, lat int, lon int"
+    )
+    ways = spark.createDataFrame(
+        [(10, [0, 0], [0, 1000]), (11, [0, 0], [1000, 2000])],
+        "id long, lats array<int>, lons array<int>",
+    )
+    members = [("from", "way", 10), ("via", "node", 2), ("to", "way", 11)]
+    cases = {
+        # rel id -> (tags, expected mask)
+        200: ({"type": "restriction", "restriction": "no_left_turn",
+               "except": "bicycle"}, BIKE | DEFAULT),
+        201: ({"type": "restriction", "restriction:foot": "no_left_turn"},
+              0xFF & ~FOOT),
+        202: ({"type": "restriction", "restriction:foot": "no_left_turn",
+               "restriction:bicycle": "no_left_turn"}, 0xFF & ~(FOOT | BIKE)),
+        203: ({"type": "restriction", "restriction": "no_left_turn",
+               "except": "psv"}, BUS | TAXI | DEFAULT),
+        204: ({"type": "restriction", "restriction": "no_left_turn",
+               "except": "psv;bicycle"}, BUS | TAXI | BIKE | DEFAULT),
+        205: ({"type": "restriction", "restriction": "no_left_turn",
+               "except": "psv;xyz;bicycle"}, BUS | TAXI | BIKE | DEFAULT),
+        206: ({"type": "restriction", "restriction:motorcar": "no_left_turn",
+               "restriction:hgv": "no_left_turn",
+               "restriction:xyz": "no_left_turn"}, 0xFF & ~(CAR | TRUCK)),
+    }
+    rels = spark.createDataFrame(
+        [(rid, tags, [{"role": r, "mtype": t, "ref": n} for r, t, n in members])
+         for rid, (tags, _) in cases.items()],
+        "id long, tags map<string,string>, "
+        "members array<struct<role: string, mtype: string, ref: long>>",
+    )
+    out = {r["rel_id"]: r["except_mask"] for r in turn_restrictions(rels, ways, nodes).collect()}
+    for rid, (_tags, want) in cases.items():
+        assert out.get(rid) == want, (rid, out.get(rid), want)
