@@ -39,7 +39,15 @@ def vanilla_confs(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["style_rules", "style_rules_full", "apply_members"]
+    "name",
+    [
+        "style_rules", "style_rules_full", "apply_members",
+        # round-4 query families: collation pandas_udf, per-tile sea
+        # synthesis, iterative flare walks, materialized link splits,
+        # locator kNN fallback, precomputed-tree assignment
+        "mdr_index", "sea_polygons", "roundabout_flares",
+        "dest_hints", "locator_autofill", "house_interpolation",
+    ],
 )
 def test_rule_queries_run_on_vanilla_session(vanilla_confs, name):
     spark = vanilla_confs
