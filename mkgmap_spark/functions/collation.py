@@ -230,7 +230,7 @@ def parse_srt(text: str) -> SrtTable:
     return table
 
 
-@lru_cache(maxsize=4)
+@lru_cache(maxsize=None)
 def default_table(codepage: int = 1252) -> SrtTable:
     with open(os.path.join(_DATA, f"sort_cp{codepage}.txt"), encoding="utf-8") as f:
         return parse_srt(f.read())

@@ -105,3 +105,21 @@ expand d to a c
     assert t.primary[bc] == 3
     exp = t.weights_of_byte(bd)
     assert [p for p, _, _ in exp] == [t.primary[ba], t.primary[bc]]
+
+
+def test_all_single_byte_codepages_parse():
+    """Every single-byte sort description the reference ships parses
+    and orders its locale's alphabet: Cyrillic under cp1251, Greek
+    under cp1253, and case stays a tertiary difference everywhere."""
+    for cp in (1250, 1251, 1253, 1254, 1255, 1256, 1257, 1258):
+        t = default_table(cp)
+        assert sum(1 for p in t.primary if p) > 150, cp
+        k = t.sort_key_hex
+        assert k("a") < k("b") < k("z"), cp
+        assert k("a") != k("A") and k("a").split("-")[0] == k("A").split("-")[0], cp
+    ru = default_table(1251).sort_key_hex
+    assert ru("а") < ru("б") < ru("я")  # Cyrillic primary order
+    assert ru("Москва") != ru("москва")
+    assert ru("Москва").split("-")[0] == ru("москва").split("-")[0]
+    el = default_table(1253).sort_key_hex
+    assert el("α") < el("β") < el("ω")  # Greek primary order
