@@ -226,7 +226,6 @@ def split_hint_ways(links: DataFrame, metric: str = "equirect") -> DataFrame:
 def exit_hints(
     ways: DataFrame,
     nodes: DataFrame,
-    metric: str = "equirect",
 ) -> DataFrame:
     """Exit hints (processWays:494-624).
 
@@ -329,7 +328,7 @@ def process_link_destinations(
     )
     exit_rows = None
     if nodes is not None:
-        exit_rows = materialize(exit_hints(ways, nodes, metric=metric))
+        exit_rows = materialize(exit_hints(ways, nodes))
         links = links.join(
             exit_rows.select(F.col("way_id").alias("id")).distinct(), "id", "left_anti"
         )
