@@ -98,7 +98,7 @@ def autofill_cities(
     places: DataFrame,
     runs: int = 2,
     autofill: tuple[str, ...] = ("is_in", "nearest"),
-    knn_gshift: int = 21,
+    knn_gshift: int | None = None,  # None: density-auto-tuned (knn.py)
 ) -> DataFrame:
     """places: (id, name, city, region, country, zip, is_in, lat, lon).
     Returns the same columns with autofilled city/region/country/zip.
