@@ -2199,6 +2199,100 @@ FROM k GROUP BY sort_key, src
 Q_MDR_INDEX_SQL = _mdr_index_oracle_sql()
 
 
+# mixed-script decorations for the unicode-collation index: one per
+# key residue, spanning Latin-1 / Greek / Cyrillic / expansion chars
+# so the paged-weight path, the undefined-skip rule, and the expansion
+# redirect all exercise (reference tests imgfmt/app/srt/
+# UnicodeKeyTest.java, UnicodeCollatorTest.java)
+MDR_UNICODE_SUFFIXES = [" Òrsk", " Γαμμα", " Жуков", " ß-Straße", " Ǣther", " élan", " Ømark", " plain"]
+
+
+def q_mdr_index_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_mdr_index on the UNICODE (cp65001 ``multi``) sort table: the
+    paged-weight path of imgfmt/app/srt/Sort.java (pages[ch >>> 8],
+    fillKey hasPage skip) keyed by code point with no codepage encode.
+    Names are decorated with deterministic mixed-script suffixes since
+    the synthetic corpus is ASCII-only."""
+    from .functions.collation import collation_key_udf
+    from .functions.rank import global_rank
+
+    suf = F.array(*[F.lit(s) for s in MDR_UNICODE_SUFFIXES])
+    cust = _read(spark, sf_dir, "customer").select(
+        F.concat(
+            F.col("c_name"), F.element_at(suf, (F.col("c_custkey") % 8 + 1).cast("int"))
+        ).alias("name"),
+        F.lit("customer").alias("src"),
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.concat(
+            F.col("s_name"), F.element_at(suf, (F.col("s_suppkey") % 8 + 1).cast("int"))
+        ).alias("name"),
+        F.lit("supplier").alias("src"),
+    )
+    allnames = cust.unionByName(supp)
+    norm = F.regexp_replace(F.trim(F.col("name")), r"\s+", " ")
+    key = collation_key_udf(65001)(norm)
+    grouped = (
+        allnames.withColumn("sort_key", key)
+        .groupBy("sort_key", "src")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return global_rank(grouped, ["sort_key", "src"], out="idx")
+
+
+def _mdr_index_unicode_oracle_sql() -> str:
+    """DuckDB twin of q_mdr_index_unicode.  The weight VALUES table is
+    restricted to the query's actual alphabet (printable ASCII + the
+    suffix characters) — the full unicode table is 17k rows; the
+    restriction changes nothing because every name character is in the
+    alphabet.  Characters with no weights contribute NOTHING (plain
+    JOIN drops them — the multi path has no '?' fallback)."""
+    from .functions.collation import default_table
+
+    table = default_table(65001)
+    alphabet = {ord(c) for c in "".join(MDR_UNICODE_SUFFIXES)}
+    alphabet |= set(range(0x20, 0x7F))
+    rows = table.oracle_weight_rows(restrict=alphabet)
+    values = ", ".join(f"({cp}, {seq}, {p}, {s}, {t})" for cp, seq, p, s, t in rows)
+    suffixes = ", ".join("'" + s.replace("'", "''") + "'" for s in MDR_UNICODE_SUFFIXES)
+    return f"""
+WITH suf(j, sfx) AS (
+  SELECT * FROM (SELECT unnest(generate_series(1, 8)), unnest([{suffixes}]))
+), a AS (
+  SELECT c.c_name || s.sfx AS name, 'customer' AS src
+  FROM customer c JOIN suf s ON s.j = c.c_custkey % 8 + 1
+  UNION ALL
+  SELECT p.s_name || s.sfx AS name, 'supplier' AS src
+  FROM supplier p JOIN suf s ON s.j = p.s_suppkey % 8 + 1
+), nm AS (
+  SELECT regexp_replace(trim(name), '\\s+', ' ', 'g') AS name, src FROM a
+), w(cp, seq, p, s, t) AS (
+  VALUES {values}
+), pos AS (
+  SELECT name, src, unnest(generate_series(1, CAST(length(name) AS BIGINT))) AS i FROM nm
+), ch AS (
+  SELECT name, src, i, unicode(substr(name, CAST(i AS INT), 1)) AS cp FROM pos
+), jw AS (
+  SELECT c.name, c.src, c.i, w.seq, w.p, w.s, w.t
+  FROM ch c JOIN w ON w.cp = c.cp
+), k AS (
+  SELECT name, src,
+         COALESCE(string_agg(CASE WHEN p <> 0 THEN printf('%04X', p) END, '' ORDER BY i, seq), '')
+         || '-' ||
+         COALESCE(string_agg(CASE WHEN s <> 0 THEN printf('%02X', s) END, '' ORDER BY i, seq), '')
+         || '-' ||
+         COALESCE(string_agg(CASE WHEN t <> 0 THEN printf('%02X', t) END, '' ORDER BY i, seq), '') AS sort_key
+  FROM jw GROUP BY name, src
+)
+SELECT sort_key, src, COUNT(*) AS n,
+       CAST(ROW_NUMBER() OVER (ORDER BY sort_key, src) AS BIGINT) AS idx
+FROM k GROUP BY sort_key, src
+"""
+
+
+Q_MDR_INDEX_UNICODE_SQL = _mdr_index_unicode_oracle_sql()
+
+
 # --------------------------------------------------------------------------
 # q: POI <-> way linking (--link-pois-to-ways: equi join on a rounded
 #    coordinate key, StyledConverter.filterCoordPOI)
@@ -2552,6 +2646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dest_hints": q_dest_hints,
     "locator_autofill": q_locator_autofill,
     "mdr_index": q_mdr_index,
+    "mdr_index_unicode": q_mdr_index_unicode,
     "poi_way_link": q_poi_way_link,
     "access_mask": q_access_mask,
     "knn_cells": q_knn_cells,
@@ -2600,6 +2695,7 @@ ORACLES: dict[str, str] = {
     "dest_hints": Q_DEST_HINTS_SQL,
     "locator_autofill": Q_LOCATOR_AUTOFILL_SQL,
     "mdr_index": Q_MDR_INDEX_SQL,
+    "mdr_index_unicode": Q_MDR_INDEX_UNICODE_SQL,
     "poi_way_link": Q_POI_WAY_LINK_SQL,
     "access_mask": Q_ACCESS_MASK_SQL,
     "knn_cells": Q_KNN_SQL,

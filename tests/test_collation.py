@@ -113,7 +113,7 @@ def test_all_single_byte_codepages_parse():
     under cp1253, and case stays a tertiary difference everywhere."""
     for cp in (1250, 1251, 1253, 1254, 1255, 1256, 1257, 1258):
         t = default_table(cp)
-        assert sum(1 for p in t.primary if p) > 150, cp
+        assert sum(1 for p in t.primary.values() if p) > 150, cp
         k = t.sort_key_hex
         assert k("a") < k("b") < k("z"), cp
         assert k("a") != k("A") and k("a").split("-")[0] == k("A").split("-")[0], cp
@@ -123,3 +123,73 @@ def test_all_single_byte_codepages_parse():
     assert ru("Москва").split("-")[0] == ru("москва").split("-")[0]
     el = default_table(1253).sort_key_hex
     assert el("α") < el("β") < el("ω")  # Greek primary order
+
+
+# ---------------------------------------------------------------------------
+# Unicode (cp65001 `multi`) paged-weight path — reference goldens from
+# test/uk/me/parabola/imgfmt/app/srt/UnicodeKeyTest.java and
+# UnicodeCollatorTest.java
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ukey():
+    return default_table(65001).sort_key_hex
+
+
+def test_unicode_table_parses():
+    t = default_table(65001)
+    assert t.multi
+    # the shipped table defines ~15k code points and >1000 expansions
+    assert len(t._defined_units()) > 10000
+    assert len(t.expansion_of) > 1000
+
+
+def test_unicode_keytest_equals(ukey):
+    # UnicodeKeyTest.testEquals
+    s = "ABCȴဣ"
+    assert ukey(s) == ukey(s)
+
+
+def test_unicode_keytest_simple_less_than(ukey):
+    # UnicodeKeyTest.testSimpleLessThan: Latin < accented-Latin < Greek
+    assert ukey("G") < ukey("Ò")
+    assert ukey("G") < ukey("Γ")
+
+
+def test_unicode_keytest_expand(ukey):
+    # UnicodeKeyTest.testExpand
+    assert ukey("!") < ukey("ß")
+    assert ukey("A:") < ukey("Ǣ")
+
+
+def test_unicode_expansion_weights(ukey):
+    # ß expands to s s: identical primaries, +7 secondary / +2 tertiary
+    # per expanded char (SrtTextReader.expandState non-experimental)
+    p_ss, s_ss, t_ss = ukey("ss").split("-")
+    p_sz, s_sz, t_sz = ukey("ß").split("-")
+    assert p_sz == p_ss
+    assert s_sz != s_ss and t_sz != t_ss
+
+
+def test_unicode_undefined_chars_skipped(ukey):
+    # multi path: a char with no page contributes nothing at any
+    # strength (Sort.fillKey hasPage skip) — NOT a '?' fallback.
+    # U+E000 is a private-use char absent from the table.
+    assert ukey("ab") == ukey("ab")
+
+
+def test_unicode_scripts_order(ukey):
+    # script blocks keep their table order: Latin < Greek < Cyrillic
+    assert ukey("z") < ukey("α")
+    assert ukey("ω") < ukey("а")  # Greek omega < Cyrillic a
+    # case remains a within-script non-primary difference
+    assert ukey("м").split("-")[0] == ukey("М").split("-")[0]
+    assert ukey("м") != ukey("М")
+
+
+def test_unicode_ignorables(ukey):
+    # soft hyphen U+00AD and ZWJ U+200D are listed as fully ignorable
+    # at primary strength in the first `characters` group
+    assert ukey("a­b").split("-")[0] == ukey("ab").split("-")[0]
+    assert ukey("a‍b").split("-")[0] == ukey("ab").split("-")[0]
