@@ -16,6 +16,7 @@ Numeric discipline for oracle parity:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pandas as pd
@@ -2026,6 +2027,180 @@ FROM ({u})
 Q_SEA_POLYGONS_SQL = _sea_polygons_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q: precompiled-sea mode (--precomp-sea, SeaGenerator.java:83-96 +
+#    addPrecompSea:571-690): land/sea from a precompiled tile directory
+#    instead of coastline synthesis
+# --------------------------------------------------------------------------
+
+PRECOMP_R = 1 << 15  # SeaGenerator.PRECOMP_RASTER
+
+
+def _precomp_tiles():
+    """25 deterministic tile bboxes (one per nation key), cell-ALIGNED
+    so full-cell rectangles and mixed-tile ways are never partially
+    clipped — the clip path is pytest-covered with controlled geometry
+    (tests/test_precomp_sea.py); here alignment keeps every vertex
+    derivable in plain SQL."""
+    out = []
+    for nk in range(25):
+        min_lat = (nk % 5) * 4 * PRECOMP_R
+        min_lon = (nk // 5) * 4 * PRECOMP_R
+        ext = (2 + nk % 2) * PRECOMP_R
+        out.append((nk, min_lat, min_lon, min_lat + ext, min_lon + ext))
+    return out
+
+
+def _precomp_cell_type(clat: int, clon: int) -> int:
+    """0=sea, 1=land, 2=mixed — pure arithmetic, reproducible in SQL."""
+    return ((clat // PRECOMP_R) + 2 * (clon // PRECOMP_R)) % 3
+
+
+def _precomp_fixture_dir() -> str:
+    """Build (once) the deterministic precomp-sea fixture directory:
+    index.txt.gz plus one real .osm file per mixed cell, read back
+    through the production XML source.  Mixed cells hold one land and
+    one sea square at fixed offsets inside the cell."""
+    import tempfile
+
+    from .mapunits import to_degrees
+    from .sources.precomp_sea import write_precomp_fixture
+
+    d = os.path.join(tempfile.gettempdir(), "mkgmap_precomp_fixture_v1")
+    marker = os.path.join(d, ".complete")
+    if os.path.exists(marker):
+        return d
+    cells: dict[tuple[int, int], str] = {}
+    mixed: dict[str, list[dict]] = {}
+    for nk, y0, x0, y1, x1 in _precomp_tiles():
+        for clat in range(y0, y1, PRECOMP_R):
+            for clon in range(x0, x1, PRECOMP_R):
+                ty = _precomp_cell_type(clat, clon)
+                if ty < 2:
+                    cells[(clat, clon)] = "sea" if ty == 0 else "land"
+                    continue
+                fname = f"sea_{clat}_{clon}.osm"
+                cells[(clat, clon)] = fname
+                if fname in mixed:
+                    continue
+                ci = (clat // PRECOMP_R) * 64 + (clon // PRECOMP_R)
+                els: list[dict] = []
+                nid = 1
+                for j, (oy0, ox0, oy1, ox1, tags) in enumerate(
+                    [
+                        (8192, 8192, 16384, 16384, {"natural": "land"}),
+                        (20480, 20480, 28672, 28672, {"natural": "sea"}),
+                    ]
+                ):
+                    corners = [
+                        (clat + oy0, clon + ox0), (clat + oy1, clon + ox0),
+                        (clat + oy1, clon + ox1), (clat + oy0, clon + ox1),
+                    ]
+                    refs = []
+                    for (yy, xx) in corners:
+                        els.append(
+                            {
+                                "kind": "node", "id": ci * 100 + nid,
+                                "lat_deg": float(to_degrees(yy)),
+                                "lon_deg": float(to_degrees(xx)),
+                            }
+                        )
+                        refs.append(ci * 100 + nid)
+                        nid += 1
+                    els.append(
+                        {"kind": "way", "id": 2 * ci + j, "refs": refs + [refs[0]], "tags": tags}
+                    )
+                mixed[fname] = els
+    import shutil
+
+    tmp = d + ".build"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    write_precomp_fixture(tmp, [(la, lo, n) for (la, lo), n in sorted(cells.items())], mixed)
+    with open(os.path.join(tmp, ".complete"), "w") as fh:
+        fh.write("v1\n")
+    if os.path.exists(d) and not os.path.exists(marker):
+        shutil.rmtree(d)  # stale partial build
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        pass  # a concurrent builder won the rename; theirs is identical
+    return d
+
+
+def q_sea_precomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precompiled-sea polygons for 25 deterministic tile bboxes: the
+    --precomp-sea contract of SeaGenerator (index grid, full sea/land
+    cells as rectangles, mixed cells loaded from real .osm files with
+    natural=land vs sea ways), emitting the generate_sea_polygons
+    point schema.  `nation` anchors the tile count so the driver's
+    row-count gate sees a stable table-derived result."""
+    from .sources.precomp_sea import precomp_sea_polygons
+
+    d = _precomp_fixture_dir()
+    tiles = _precomp_tiles()
+    bounds = spark.createDataFrame(
+        pd.DataFrame(tiles, columns=["tile_id", "min_lat", "min_lon", "max_lat", "max_lon"]),
+        schema="tile_id long, min_lat long, min_lon long, max_lat long, max_lon long",
+    )
+    # anchor on the nation table (tile per nation key)
+    nat = _read(spark, sf_dir, "nation").select(F.col("n_nationkey").cast("long").alias("tile_id"))
+    bounds = bounds.join(nat, "tile_id")
+    return precomp_sea_polygons(spark, d, bounds)
+
+
+def _sea_precomp_oracle_sql() -> str:
+    """Plain-SQL twin: re-derives cells, types, rectangles and the
+    mixed squares from the same arithmetic the fixture generator used
+    (the Spark path reads them back through index.txt.gz + .osm files,
+    so the comparison proves the whole round trip)."""
+    r = PRECOMP_R
+    return f"""
+WITH t AS (
+  SELECT n_nationkey AS tile_id,
+         (n_nationkey % 5) * {4 * r} AS min_lat,
+         (n_nationkey // 5) * {4 * r} AS min_lon,
+         (n_nationkey % 5) * {4 * r} + (2 + n_nationkey % 2) * {r} AS max_lat,
+         (n_nationkey // 5) * {4 * r} + (2 + n_nationkey % 2) * {r} AS max_lon
+  FROM nation
+), cl AS (
+  SELECT t.*, unnest(generate_series(min_lat, max_lat - {r}, {r})) AS cell_lat FROM t
+), c AS (
+  SELECT cl.*, unnest(generate_series(min_lon, max_lon - {r}, {r})) AS cell_lon FROM cl
+), typ AS (
+  SELECT *, ((cell_lat // {r}) + 2 * (cell_lon // {r})) % 3 AS ty,
+         (cell_lat // {r}) * 64 + (cell_lon // {r}) AS ci
+  FROM c
+), polys AS (
+  SELECT tile_id, CASE ty WHEN 0 THEN 'sea' ELSE 'land' END AS kind,
+         cell_lat, cell_lon, CAST(-1 AS BIGINT) AS way_id,
+         cell_lat AS y0, cell_lon AS x0,
+         cell_lat + {r} AS y1, cell_lon + {r} AS x1
+  FROM typ WHERE ty < 2
+  UNION ALL
+  SELECT tile_id, 'land', cell_lat, cell_lon, 2 * ci,
+         cell_lat + 8192, cell_lon + 8192, cell_lat + 16384, cell_lon + 16384
+  FROM typ WHERE ty = 2
+  UNION ALL
+  SELECT tile_id, 'sea', cell_lat, cell_lon, 2 * ci + 1,
+         cell_lat + 20480, cell_lon + 20480, cell_lat + 28672, cell_lon + 28672
+  FROM typ WHERE ty = 2
+), pts AS (
+  SELECT p.*, i.idx,
+         CASE i.idx WHEN 0 THEN y0 WHEN 1 THEN y1 WHEN 2 THEN y1 WHEN 3 THEN y0 ELSE y0 END AS lat,
+         CASE i.idx WHEN 0 THEN x0 WHEN 1 THEN x0 WHEN 2 THEN x1 WHEN 3 THEN x1 ELSE x0 END AS lon
+  FROM polys p CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS idx) i
+)
+SELECT tile_id, kind,
+       CAST(DENSE_RANK() OVER (PARTITION BY tile_id ORDER BY kind, cell_lat, cell_lon, way_id) - 1 AS INT) AS poly,
+       CAST(idx AS INT) AS idx, CAST(lat AS INT) AS lat, CAST(lon AS INT) AS lon
+FROM pts
+"""
+
+
+Q_SEA_PRECOMP_SQL = _sea_precomp_oracle_sql()
+
+
 def q_house_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """addr:interpolation ways (customers as straight E-W ways with an
     addressed node at each end) expanded into synthesized house nodes
@@ -2642,6 +2817,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "house_numbers": q_house_numbers,
     "house_interpolation": q_house_interpolation,
     "sea_polygons": q_sea_polygons,
+    "sea_precomp": q_sea_precomp,
     "roundabout_flares": q_roundabout_flares,
     "dest_hints": q_dest_hints,
     "locator_autofill": q_locator_autofill,
@@ -2691,6 +2867,7 @@ ORACLES: dict[str, str] = {
     "house_numbers": Q_HOUSE_NUMBERS_SQL,
     "house_interpolation": Q_HOUSE_INTERPOLATION_SQL,
     "sea_polygons": Q_SEA_POLYGONS_SQL,
+    "sea_precomp": Q_SEA_PRECOMP_SQL,
     "roundabout_flares": Q_ROUNDABOUT_FLARES_SQL,
     "dest_hints": Q_DEST_HINTS_SQL,
     "locator_autofill": Q_LOCATOR_AUTOFILL_SQL,
