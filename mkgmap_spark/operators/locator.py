@@ -105,7 +105,12 @@ def autofill_cities(
     """
     if "is_in" not in autofill and "nearest" not in autofill:
         return places
-    cur = places.select(*PLACE_COLS).transform(materialize)
+    # Locator.java:71: setCountry(normalizeCountry(...)) as each place
+    # enters, BEFORE any matching — so variants like 'DEU' /
+    # 'Deutschland' index and adopt as one country
+    from ..functions.locator_config import normalize_countries
+
+    cur = normalize_countries(places.select(*PLACE_COLS)).transform(materialize)
     for run in range(runs):
         last = run == runs - 1
         cities = _city_index(cur)

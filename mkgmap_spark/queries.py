@@ -1661,7 +1661,12 @@ def q_locator_autofill(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations are the seed cities; every 50th customer is a place —
     k%3=0 resolves via its is_in city name, k%3=1 carries an unmatched
     is_in and k%3=2 none (both fall back to the nearest known city in
-    the last run, which by then includes the run-1-resolved places)."""
+    the last run, which by then includes the run-1-resolved places).
+
+    Seed-city countries are LocatorConfig.xml VARIANTS ('DEU',
+    'Germany', 'france') so the Locator.normalizeCountry alias pass
+    (Locator.java:71,97-114) is exercised: the output carries the
+    canonical names ('Deutschland', 'France')."""
     from .operators.locator import autofill_cities
 
     n = _read(spark, sf_dir, "nation")
@@ -1672,7 +1677,10 @@ def q_locator_autofill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("City"), nk).alias("name"),
         F.concat(F.lit("City"), nk).alias("city"),
         F.concat(F.lit("R"), F.pmod(nk, 5)).alias("region"),
-        F.concat(F.lit("C"), F.pmod(nk, 3)).alias("country"),
+        F.when(F.pmod(nk, 3) == 0, F.lit("DEU"))
+        .when(F.pmod(nk, 3) == 1, F.lit("Germany"))
+        .otherwise(F.lit("france"))
+        .alias("country"),
         F.concat(F.lit("Z"), nk).alias("zip"),
         F.lit(None).cast("string").alias("is_in"),
         (F.pmod(seed * C_LAT, F.lit(LAT_MOD)) - LAT_OFF).cast("int").alias("lat"),
@@ -1710,7 +1718,11 @@ WITH nat AS (
          'City' || CAST(n_nationkey AS VARCHAR) AS cname,
          'City' || CAST(n_nationkey AS VARCHAR) AS city,
          'R' || CAST(n_nationkey % 5 AS VARCHAR) AS region,
-         'C' || CAST(n_nationkey % 3 AS VARCHAR) AS country,
+         -- normalizeCountry('DEU')='Deutschland',
+         -- normalizeCountry('Germany')='Deutschland' (variant of DEU),
+         -- normalizeCountry('france')='France' (case-insensitive) —
+         -- verified against resources/LocatorConfig.xml:356,388
+         CASE n_nationkey % 3 WHEN 2 THEN 'France' ELSE 'Deutschland' END AS country,
          'Z' || CAST(n_nationkey AS VARCHAR) AS zip,
          CAST({lat_n} AS BIGINT) AS lat, CAST({lon_n} AS BIGINT) AS lon
   FROM nation

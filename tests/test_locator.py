@@ -65,3 +65,37 @@ def test_nearest_fallback(spark):
     assert by[10]["region"] == "R" and by[10]["country"] == "C"
     # zip is NOT adopted on the nearest path (only is_in adopts zip)
     assert by[10]["zip"] is None
+
+
+def test_country_aliases_parse():
+    """LocatorConfig.xml alias semantics (build/LocatorConfig.java
+    loadConfig/addISO): variants, names and ISO codes all normalize to
+    the canonical name attribute; lookups are upper+trim."""
+    from mkgmap_spark.functions.locator_config import country_aliases
+
+    amap = dict(country_aliases())
+    assert amap["DEU"] == "Deutschland"
+    assert amap["GERMANY"] == "Deutschland"
+    assert amap["DEUTSCHLAND"] == "Deutschland"
+    assert amap["FRA"] == "France"
+    assert amap["FRANCE"] == "France"
+    assert amap["ÅLAND"] == "Åland Islands"
+    # a few hundred countries, each with >= 1 variant
+    assert len(amap) > 400
+
+
+def test_normalize_countries_column(spark):
+    from mkgmap_spark.functions.locator_config import normalize_countries
+
+    df = spark.createDataFrame(
+        [(1, "DEU"), (2, " germany "), (3, "Atlantis"), (4, None), (5, "france")],
+        "id int, country string",
+    )
+    got = {r["id"]: r["country"] for r in normalize_countries(df).collect()}
+    assert got == {
+        1: "Deutschland",
+        2: "Deutschland",  # upper+trim lookup matches -> replaced
+        3: "Atlantis",  # unknown -> unchanged
+        4: None,
+        5: "France",
+    }
