@@ -198,6 +198,7 @@ def pip_shuffle_candidates(
     id_col: str = "id",
     lat_col: str = "ay",
     lon_col: str = "ax",
+    max_pts_per_row: int = 250_000,
 ) -> DataFrame:
     """Candidate stage of the shuffle PIP join — geometry-free.
 
@@ -206,6 +207,16 @@ def pip_shuffle_candidates(
     cell-cover explode and the point shuffle carry ONLY
     (boundary_id, cy, cx) — no ring arrays — so a polygon covering many
     cells does not amplify its geometry through the exchange.
+
+    Cap-and-spill: a pathologically hot block under one huge boundary
+    would otherwise produce one fat collect_list row.  Blocks whose
+    candidate count exceeds ``max_pts_per_row`` split on a
+    hash(id)-derived salt into ceil(n/cap) rows of ~cap structs each —
+    semantically transparent, because the refine kernel treats every
+    row independently and the final (id, admin_level) aggregation
+    dedups across rows.  The count pre-pass is a keys-only aggregate
+    over the same exchange (AQE reuses it), so the common small-block
+    case pays one cheap extra stage and no extra data shuffle.
     """
     g = gshift
     b = boundaries.select(
@@ -234,12 +245,27 @@ def pip_shuffle_candidates(
         F.shiftright(F.col(lon_col).cast("long"), g).alias("cx"),
     )
 
-    paired = pts.join(cover, ["cy", "cx"])
-    return paired.groupBy(
+    paired = pts.join(cover, ["cy", "cx"]).select(
         "boundary_id",
         F.shiftright(F.col("cy"), BLOCK_SHIFT).alias("by"),
         F.shiftright(F.col("cx"), BLOCK_SHIFT).alias("bx"),
-    ).agg(F.collect_list(F.struct("id", "lat", "lon")).alias("pts"))
+        "id", "lat", "lon",
+    )
+    counts = paired.groupBy("boundary_id", "by", "bx").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    salted = paired.join(counts, ["boundary_id", "by", "bx"]).withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64("id"),
+            F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(max_pts_per_row))),
+        ),
+    )
+    return (
+        salted.groupBy("boundary_id", "by", "bx", "_salt")
+        .agg(F.collect_list(F.struct("id", "lat", "lon")).alias("pts"))
+        .select("boundary_id", "by", "bx", "pts")
+    )
 
 
 def pip_join_shuffle(
@@ -249,6 +275,7 @@ def pip_join_shuffle(
     id_col: str = "id",
     lat_col: str = "ay",
     lon_col: str = "ax",
+    max_pts_per_row: int = 250_000,
 ) -> DataFrame:
     """Shuffle PIP join for boundary sets too large to broadcast.
 
@@ -258,7 +285,8 @@ def pip_join_shuffle(
     candidate batch.
     """
     cand = pip_shuffle_candidates(
-        points, boundaries, gshift=gshift, id_col=id_col, lat_col=lat_col, lon_col=lon_col
+        points, boundaries, gshift=gshift, id_col=id_col, lat_col=lat_col,
+        lon_col=lon_col, max_pts_per_row=max_pts_per_row,
     )
     withgeo = cand.join(
         boundaries.select("boundary_id", "admin_level", "name", "postcode", "rings"),
