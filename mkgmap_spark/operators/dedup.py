@@ -57,6 +57,95 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard via a shingle inverted index —
+    the non-approximate sibling of minhash_dedup.
+
+    Any pair with jaccard > 0 shares at least one distinct shingle, so
+    the inverted-index candidate join has total recall for every
+    threshold > 0; |A∩B| is the per-pair shared-shingle count (one
+    aggregation), |A∪B| = |A| + |B| − |A∩B| from per-doc sizes.  Every
+    step is an equi-join or aggregation on a shingle / pair key
+    (AQE-skew-splittable) — never an all-pairs product.
+
+    ``max_df`` (scale knob): drop shingles occurring in more than
+    max_df documents.  A stop-shingle appearing in f docs creates
+    O(f^2) candidate pairs; capping df bounds the blowup at the price
+    of underestimating Jaccard for pairs ONLY connected by
+    stop-shingles.  Leave None for exact results (the oracled
+    setting).
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), _tokens_col(text_col).alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_shingles_from_tokens("_toks", shingle_k))
+            ).alias("shingle"),
+        )
+    )
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(df_counts.filter(F.col("_df") <= max_df).select("shingle"), "shingle")
+    # used three times (sizes + both join sides): materialize once
+    sh = sh.transform(materialize)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "n_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def ngram_jaccard_oracle_sql(threshold: float = 0.5, shingle_k: int = 3) -> str:
+    """DuckDB twin of ngram_jaccard_pairs over the documents view."""
+    k = shingle_k
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(COALESCE(text, '')), '\\s+') AS t FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t) - {k} + 2),
+                                  i -> array_to_string(t[i:i+{k - 1}], ' ')) END AS shingles
+  FROM toks
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS shingle FROM sh0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT doc_a, doc_b,
+         CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {threshold}
+"""
+
+
 def minhash_signature_col(shingles_expr: str, n_hashes: int = 64) -> F.Column:
     """Column form: array of n_hashes int64 minhashes over a shingles
     array expression.

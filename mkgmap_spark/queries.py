@@ -1015,6 +1015,22 @@ def _minhash_oracle_sql() -> str:
     return minhash_pairs_md5_oracle_sql(threshold=0.5)
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via the shingle inverted
+    index (total recall, no LSH approximation) — the ground truth the
+    banded minhash path approximates."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def _ngram_jaccard_oracle_sql() -> str:
+    from .operators.dedup import ngram_jaccard_oracle_sql
+
+    return ngram_jaccard_oracle_sql(threshold=0.5)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups over the deterministic 60-bit md5-prefix token
     hash; the band join is recall-lossless (bands = max_hamming + 1),
@@ -2843,6 +2859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "minhash_pairs": q_minhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh": q_ann_lsh,
     "line_merge": q_line_merge,
@@ -2893,6 +2910,7 @@ ORACLES: dict[str, str] = {
     "lang_id": _lang_id_sql(),
     "token_counts": Q_TOKEN_COUNTS_SQL,
     "minhash_pairs": _minhash_oracle_sql(),
+    "ngram_jaccard": _ngram_jaccard_oracle_sql(),
     "simhash_pairs": _simhash_oracle_sql(),
     "ann_lsh": _ann_lsh_oracle_sql(),
     "line_merge": Q_LINE_MERGE_SQL,

@@ -191,6 +191,37 @@ def test_exact_and_minhash_dedup(spark):
     assert all("d" not in p for p in got)  # far doc never matches
 
 
+def test_ngram_jaccard_pairs(spark):
+    """Exact inverted-index Jaccard: identical docs score 1.0, the
+    one-token edit scores (n-1-k)/(n-1+k)-ish, far docs never pair;
+    max_df drops stop-shingle-only connections."""
+    from mkgmap_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    far = "completely different words about spark partitions and shuffles here"
+    docs = spark.createDataFrame(
+        [("a", base), ("b", base), ("c", near), ("d", far)], "doc_id string, text string"
+    )
+    rows = dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert got[("a", "b")] == 1.0
+    assert 0.3 <= got[("a", "c")] < 1.0
+    assert all("d" not in p for p in got)
+    # exact values match the verify kernel's Jaccard on the same pairs
+    cand = spark.createDataFrame([("a", "b"), ("a", "c")], "doc_a string, doc_b string")
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_verify(cand, docs, threshold=0.0).collect()
+    }
+    assert got[("a", "b")] == want[("a", "b")]
+    assert got[("a", "c")] == want[("a", "c")]
+    # max_df=1: every shared shingle between a and b has df>=2 -> the
+    # identical pair loses all its connecting shingles and vanishes
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_df=1).collect()
+    assert capped == []
+
+
 def test_simhash(spark):
     from mkgmap_spark.operators import dedup
 
