@@ -161,14 +161,20 @@ def main() -> None:
                 # fish the queries map out with a regex
                 import re
 
-                m = re.search(
-                    r'\\?"queries\\?"\s*:\s*\{(.*?)\}',
-                    prev_doc.get("tail", ""),
-                    re.DOTALL,
-                )
+                tail = prev_doc.get("tail", "")
+                m = re.search(r'\\?"queries\\?"\s*:\s*\{(.*?)\}', tail, re.DOTALL)
                 if m:
                     body = m.group(1).replace('\\"', '"')
                     prev_q = json.loads("{" + body + "}")
+                else:
+                    # the tail may START inside the queries map (the
+                    # r4 truncation) — everything before the first '}'
+                    # is then per-query float timings
+                    frag = tail.split("}", 1)[0]
+                    prev_q = {
+                        k: float(v)
+                        for k, v in re.findall(r'\\?"(\w+)\\?":\s*([0-9.]+)', frag)
+                    }
             slow = {
                 n: (t, prev_q[n])
                 for n, t in timings.items()
