@@ -486,6 +486,12 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("kind_i", F.lit(0)).withColumn("size_bytes", F.lit(9).cast("long")).withColumn(
         "min_res", F.lit(24)
     )
+    # one scan, not four: every refinement round's histogram job and
+    # the final assignment re-read the prepared features — materialize
+    # them once (the flagship pipeline does the same through its
+    # checkpoint stage; SparkHistogramProvider's contract says
+    # "ideally cached")
+    pts = materialize(pts, tag="tile_pts")
     provider = tiling.SparkHistogramProvider(pts)
     res = tiling.split_level(provider, shift=0, level=0)
     return tiling.assign_tiles(pts, res.index, resolution=24, level=0).select(
