@@ -240,7 +240,7 @@ def parse_srt(text: str) -> SrtTable:
                     i += 1
                 i += 1  # value ignored (binary header metadata)
                 # a quoted description is several tokens: skip to EOL
-                if toks[i - 1] == '"':
+                if toks[i - 1] in ("\"", "'"):
                     while toks[i] != "\n":
                         i += 1
             elif tok in ("characters", "code"):
@@ -251,6 +251,26 @@ def parse_srt(text: str) -> SrtTable:
             assert table is not None
             if tok in ("characters", "code"):
                 advance()
+            elif tok in ("pos", "pos2", "pos3"):
+                # explicit position overrides (SrtTextReader
+                # characterState "pos"/"pos2"/"pos3": validateNext("=")
+                # then Integer.decode — 0x-prefixed hex or decimal)
+                assert toks[i] == "=", toks[i]
+                i += 1
+                val = toks[i]
+                i += 1
+                n = int(val, 0)
+                if tok == "pos":
+                    pos1 = n
+                elif tok == "pos2":
+                    pos2 = n
+                else:
+                    pos3 = n
+            elif tok == "flags":
+                # per-character kind flags (letter/digit) — consumed
+                # but unused: the engine models only weights+expansions
+                assert toks[i] == "=", toks[i]
+                i += 2
             elif tok == "expand":
                 state = "expand_char"
             elif tok == "=":

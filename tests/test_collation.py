@@ -193,3 +193,162 @@ def test_unicode_ignorables(ukey):
     # at primary strength in the first `characters` group
     assert ukey("a­b").split("-")[0] == ukey("ab").split("-")[0]
     assert ukey("a‍b").split("-")[0] == ukey("ab").split("-")[0]
+
+
+# ---------------------------------------------------------------------------
+# Ports of the remaining reference collation JUnit suites:
+# imgfmt/app/srt/SortExpandTest.java, SrtCollatorTest.java and
+# mkgmap/srt/SrtTextReaderTest.java.  Strength-limited comparisons map
+# to hex-key sections: PRIMARY = section 1, SECONDARY = sections 1-2,
+# TERTIARY = the full key.
+# ---------------------------------------------------------------------------
+
+
+def _prim(k):
+    return k.split("-")[0]
+
+
+def _sec(k):
+    return tuple(k.split("-")[:2])
+
+
+def test_sort_expand_ordering():
+    # SortExpandTest.setUp's custom table
+    t = parse_srt(
+        "codepage 1252\n"
+        "code 01\n"
+        "code a, A; â, Â < b, B\n"
+        "code c < d < e <f < g < h < i < j < k < l < m < n < o\n"
+        "code p < q < r,R < s,S < t,T < u < v < w < x < y < z\n"
+        "expand ß to s s\n"
+    )
+    k = t.sort_key_hex
+    # testNormal
+    assert k("asßst") < k("astst")
+    assert k("asrst") < k("asßst")
+    # testExpandSize (equality of all-expansion strings)
+    assert k("ßßßß") == k("ßßßß")
+    # testGreaterThanInExpansion / testLessThanInExpansion
+    assert k("aßzaa") < k("astb")
+    assert k("asrb") < k("aßaaa")
+
+
+def test_srt_collator_primary(key):
+    # SrtCollatorTest.testPrimary
+    assert _prim(key("AabBb")) == _prim(key("aabbb"))
+    assert _prim(key("aabBb")) == _prim(key("aabbb"))
+    assert _prim(key("AabB")) < _prim(key("aabbb"))
+    assert _prim(key("aaac")) < _prim(key("aaad"))
+    assert _prim(key("aaae")) > _prim(key("aaad"))
+    assert _prim(key("aaaa")) == _prim(key("aaaa"))
+    assert _prim(key("aáÄâ")) == _prim(key("aaaa"))
+
+
+def test_srt_collator_secondary(key):
+    # SrtCollatorTest.testSecondary
+    assert _sec(key("AabBb")) == _sec(key("aabbb"))
+    assert _sec(key("aabBb")) == _sec(key("aabBb"))
+    assert _sec(key("aabbB")) == _sec(key("aabBb"))
+    assert _sec(key("aáÄâ")) > _sec(key("aaaa"))
+    assert _sec(key("aáÄâ")) < _sec(key("aaaaa"))  # primary length wins
+    assert _sec(key("aáÄâa")) < _sec(key("aaaab"))
+
+
+def test_srt_collator_tertiary(key):
+    # SrtCollatorTest.testTertiary (full-key comparisons)
+    assert key("AabBb") > key("aabbb")
+    assert key("aabBb") == key("aabBb")
+    assert key("aabbB") < key("aabBb")
+    assert key("aAbb") < key("aabbb")
+    assert key("t") > key("a")
+    assert key("ß") > key("a")
+    assert key("ESA") < key("Eß")
+    assert key(":.e") < key("\x7fæ")
+    assert key(";œ") < key(";Œ")
+    assert key("œ;") < key("Œ;")
+
+
+def test_srt_collator_ignorable(key):
+    # SrtCollatorTest.testIgnoreable / testSecondaryIgnorable
+    assert key("\x08fred") == key("fred")
+    assert key("fred\x08") == key("fred")
+    assert key("fr\x08ed") == key("fred")
+    # (SrtCollatorTest also asserts compare("\u0001A","A\u0008")==1,
+    # but the byte-key comparator the reference actually ships sorts
+    # these the other way: tertiary streams [1,2] vs [2] compare less
+    # bytewise in SrtSortKey.compareTo AND via PositionIterator, since
+    # t(\u0001)=1 < t(A)=2 in cp1252.txt.  We follow the shipped key
+    # semantics and keep only the direction both agree on:)
+    assert key("\x01A") != key("A\x08")
+    assert _prim(key("\x01A")) == _prim(key("A\x08"))
+    assert _prim(key("AabBb\x08")) == _prim(key("aabbb"))
+    assert key("A") < key("A\x01")
+
+
+def test_srt_collator_spaces(key):
+    # SrtCollatorTest.testSpaces
+    assert key("øþõ Ñ") > key("õþO")
+
+
+def _mini(body):
+    # SrtTextReaderTest.BASE
+    return parse_srt("# comment\n\ncodepage 1252\ncode 01, 02, 03\n" + body + "\n")
+
+
+def test_srt_reader_simple():
+    # SrtTextReaderTest.testSimple: a and A share primary+secondary,
+    # differ at tertiary
+    t = _mini("code a, A")
+    a, A = ord("a"), ord("A")
+    assert t.primary[a] == t.primary[A] == 1
+    assert t.secondary[a] == t.secondary[A] == 1
+    assert t.tertiary[a] == 1 and t.tertiary[A] == 2
+
+
+def test_srt_reader_minor_codes():
+    t = _mini("code a;b;c")
+    assert t.secondary[ord("a")] == 1
+    assert t.secondary[ord("b")] == 2
+    assert t.secondary[ord("c")] == 3
+
+
+def test_srt_reader_specify_major_pos():
+    # testSpecifyMajorPos: pos=0x98 overrides the primary counter
+    t = _mini("code pos=0x98 a;b")
+    assert t.primary[ord("a")] == 0x98
+    assert t.primary[ord("b")] == 0x98
+    assert t.secondary[ord("b")] == 2
+
+
+def test_srt_reader_hex_letters():
+    # testHexLetters: two-hex-char tokens are codepage bytes
+    t = _mini("code c4;c6")
+    assert t.primary.get(0xC4) == 1
+    assert t.primary.get(0xC5, 0) == 0
+    assert t.primary.get(0xC6) == 1
+
+
+def test_srt_reader_punct_and_unicode():
+    # testPunct + testUnicodeChars ('›' is cp1252 0x9b)
+    t = _mini("code !")
+    assert t.primary[ord("!")] == 1
+    t2 = parse_srt("codepage 1252\ncharacters\n< :\n< ›\n")
+    assert t2.primary[ord(":")] == 1
+    assert t2.primary["›".encode("cp1252")[0]] == 2
+
+
+def test_srt_reader_short_code_separator():
+    t = _mini("code a < b < c")
+    assert t.primary[ord("a")] == 1
+    assert t.primary[ord("b")] == 2
+    assert t.primary[ord("c")] == 3
+
+
+def test_srt_reader_quoted_description():
+    # testDescription: quoted values must not be consumed as characters
+    for q in ("'", '"'):
+        t = parse_srt(f"codepage 1252\ndescription {q}Euro Sort{q}\ncharacters\n< a\n")
+        assert t.primary[ord("a")] == 1
+        # the description words must NOT have been added as characters
+        assert t.primary.get(ord("E"), 0) == 0
+        assert t.primary.get(ord("u"), 0) == 0
