@@ -62,6 +62,18 @@ FILTER_CASES = [
     ("part", ";:9", "a;b;c", {}, None),
     ("part", ";>1", "a;b;c", {}, "b;c;"),
     ("part", ";<3", "a;b;c", {}, "a;b;"),
+    # PartFilterTest.java goldens
+    ("part", "", "x;y;z", {}, "x"),  # testNoArg: default ';' sep, first
+    ("part", ";", "x;y;z", {}, "x"),  # testOneArg
+    ("part", ":3", "Aa;Bb;Cc;Dd;Ee", {}, "Cc"),  # test2ndArg
+    ("part", "#:-2", "Aa#Bb#Cc#Dd#Ee", {}, "Dd"),  # test2ndLastPart
+    ("part", "#>1", "Aa#Bb#Cc#Dd#Ee", {}, "Bb#Cc#Dd#Ee#"),  # testRestAfter1
+    ("part", "#<-1", "Aa#Bb#Cc#Dd#Ee", {}, "Aa#Bb#Cc#Dd#"),  # testBeforeLast
+    ("part", "#<5", "Aa#Bb#Cc#Dd#Ee", {}, "Aa#Bb#Cc#Dd#"),  # testBeforeFifth
+    ("part", "#:1", "xyz", {}, "xyz"),  # no separator: part 1 = whole
+    ("part", "#:-1", "xyz", {}, "xyz"),
+    ("part", "#:2", "xyz", {}, None),
+    ("part", "--->1", "abc---def---ghi", {}, "def---ghi---"),  # multi-char sep
     ("ascii", "", "Zürich-Øst", {}, "Zurich-Ost"),
     ("country-ISO", "", "Germany", {}, "DEU"),
     ("country-ISO", "", "Atlantis", {}, "Atlantis"),
@@ -573,3 +585,34 @@ def test_differential_random_full_dsl(spark):
             types, out_tags = interpret(rules, tags)
             want = ([(g.type_code, g.road_class, g.road_speed) for g in types], out_tags)
             assert got[i] == want, (round_i, i, tags, got[i], want)
+
+
+# ValueBuilderTest.java goldens: template parsing incl. quoted filter
+# args containing pipes, spaced pipes, and chained subst+def
+VALUE_BUILDER_CASES = [
+    ("${name} road", {"name": "abc abc"}, "abc abc road"),
+    ("init ${name|subst:abc=>xyz} final", {"name": "abc road abc"},
+     "init xyz road xyz final"),
+    ("${name|subst:abc=>xyz|subst:def=>www|def:unset}", {}, "unset"),
+    ("${name|subst:abc=>xyz|subst:def=>www|def:unset}", {"name": "abc def"},
+     "xyz www"),
+    ("${name|subst:abc=>x y z }!", {"name": "Tabc"}, "Tx y z !"),
+    ("${name|subst:'abc=>x y z '}!", {"name": "Tabc"}, "Tx y z !"),
+    ('${name|subst:"abc=>x y z "}!', {"name": "Tabc"}, "Tx y z !"),
+    ("${name|subst:'abc=>x|y'|subst:'defg=>w|w\"w'|def:'unset string' }", {},
+     "unset string"),
+    ("${name|subst:'abc=>x|y'|subst:'defg=>w|w\"w'|def:'unset string' }",
+     {"name": "abc defg"}, 'x|y w|w"w'),
+    ("${name | subst:'abc=>x|y' | subst:'defg=>w|w' | def:'unset string' }",
+     {}, "unset string"),
+    ("${name | subst:'abc=>x|y' | subst:'defg=>w|w' | def:'unset string' }",
+     {"name": "abc defg"}, "x|y w|w"),
+]
+
+
+@pytest.mark.parametrize("src,tags,want", VALUE_BUILDER_CASES)
+def test_value_builder_goldens(src, tags, want):
+    from mkgmap_spark.rules.interpreter import eval_template
+    from mkgmap_spark.rules.parser import parse_template
+
+    assert eval_template(parse_template(src), tags) == want
