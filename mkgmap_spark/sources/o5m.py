@@ -20,6 +20,7 @@ Coordinates are 100-nano-degree ints in the stream; converted to
 from __future__ import annotations
 
 import math
+import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -260,6 +261,30 @@ O5M_SCHEMA = (
     "refs array<long>, members array<struct<role: string, mtype: string, ref: long>>"
 )
 
+# Raw-OSM tag-value normalization (Element.addTagFromRawOSM /
+# Label.squashSpaces + squashDel): Java-trim (codepoints <= U+0020),
+# collapse ASCII-whitespace RUNS to one space, strip DEL (0x7f).
+# Applied by every OSM reader (XML / o5m / PBF), matching the three
+# reference handlers that call addTagFromRawOSM.
+_JAVA_WS = "".join(chr(i) for i in range(0x21))
+_SQUASH_SPACES = re.compile(r"[ \t\n\x0b\f\r][ \t\n\x0b\f\r]+")
+
+
+def squash_raw_tag(val: str | None) -> str | None:
+    """Label.squashSpaces/squashDel semantics for one tag value."""
+    if val is None:
+        return None
+    val = val.strip(_JAVA_WS)
+    if val:
+        val = _SQUASH_SPACES.sub(" ", val)
+        val = val.replace("\x7f", "")
+    return val
+
+
+def squash_raw_tags(tags: dict) -> dict:
+    """Apply squash_raw_tag to every value of a raw tag dict."""
+    return {k: squash_raw_tag(v) for k, v in tags.items()}
+
 
 def read_o5m(spark: SparkSession, path: str) -> DataFrame:
     """Read .o5m files into the raw element table (nodes with map-unit
@@ -277,7 +302,7 @@ def read_o5m(spark: SparkSession, path: str) -> DataFrame:
                         (
                             el["id"],
                             el["kind"],
-                            el.get("tags", {}),
+                            squash_raw_tags(el.get("tags", {})),
                             el.get("lat"),
                             el.get("lon"),
                             el.get("refs"),

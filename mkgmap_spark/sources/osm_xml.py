@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..mapunits import to_map_unit  # canonical Utils.toMapUnit rounding
-from .o5m import O5M_SCHEMA
+from .o5m import O5M_SCHEMA, squash_raw_tags
 
 
 def parse_osm_xml(text: str) -> list[dict]:
@@ -79,7 +79,7 @@ def read_osm_xml(spark: SparkSession, path: str) -> DataFrame:
                         (
                             el["id"],
                             el["kind"],
-                            el.get("tags", {}),
+                            squash_raw_tags(el.get("tags", {})),
                             el.get("lat"),
                             el.get("lon"),
                             el.get("refs"),
@@ -93,12 +93,21 @@ def read_osm_xml(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(kernel, O5M_SCHEMA)
 
 
+def _attr(v: str) -> str:
+    """Escape an attribute value; tab/newline go out as character
+    references so XML attribute-value normalization can't fold them."""
+    v = v.replace("&", "&amp;").replace("<", "&lt;").replace('"', "&quot;")
+    return v.replace("\t", "&#9;").replace("\n", "&#10;").replace("\r", "&#13;")
+
+
 def write_osm_xml_fixture(path: str, elements: list[dict]) -> None:
     """Serialize element dicts back to .osm text (fixture generator;
     coordinates given in degrees via 'lat_deg'/'lon_deg')."""
     lines = ['<?xml version="1.0" encoding="UTF-8"?>', '<osm version="0.6" generator="fixture">']
     for el in elements:
-        tags = "".join(f'<tag k="{k}" v="{v}"/>' for k, v in el.get("tags", {}).items())
+        tags = "".join(
+            f'<tag k="{_attr(k)}" v="{_attr(v)}"/>' for k, v in el.get("tags", {}).items()
+        )
         if el["kind"] == "node":
             lines.append(
                 f'<node id="{el["id"]}" lat="{el["lat_deg"]:.7f}" lon="{el["lon_deg"]:.7f}">{tags}</node>'

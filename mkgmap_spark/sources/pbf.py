@@ -25,7 +25,7 @@ import zlib
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from .o5m import O5M_SCHEMA
+from .o5m import O5M_SCHEMA, squash_raw_tags
 
 
 # ------------------------------------------------------- wire primitives
@@ -334,7 +334,7 @@ def read_pbf(spark: SparkSession, path: str) -> DataFrame:
                         (
                             el["id"],
                             el["kind"],
-                            el.get("tags", {}),
+                            squash_raw_tags(el.get("tags", {})),
                             el.get("lat"),
                             el.get("lon"),
                             el.get("refs"),

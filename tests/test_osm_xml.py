@@ -119,3 +119,33 @@ def test_read_osm_gz(spark, tmp_path):
         )
     rows = read_osm_xml(spark, str(tmp_path)).collect()
     assert len(rows) == 1 and rows[0]["tags"]["amenity"] == "cafe"
+
+
+def test_raw_tag_squash_all_readers(spark, tmp_path):
+    """Element.addTagFromRawOSM (reader/osm/Element.java:54-74): every
+    OSM reader Java-trims raw tag values, collapses whitespace RUNS to
+    one space (single interior tabs survive — Label.squashSpaces only
+    matches \\s\\s+), and strips DEL (0x7f)."""
+    from mkgmap_spark.sources.o5m import encode_o5m, read_o5m, squash_raw_tag
+    from mkgmap_spark.sources.pbf import encode_pbf, read_pbf
+
+    raw = {"name": "  Main   St\x7freet ", "ref": "a\tb", "note": " \t "}
+    want = {"name": "Main Street", "ref": "a\tb", "note": ""}
+    assert {k: squash_raw_tag(v) for k, v in raw.items()} == want
+
+    els = [{"id": 1, "kind": "node", "tags": raw, "lat_deg": 1.0, "lon_deg": 2.0}]
+    d_xml = tmp_path / "xml"; d_xml.mkdir()
+    write_osm_xml_fixture(str(d_xml / "a.osm"), els)
+    d_o5m = tmp_path / "o5m"; d_o5m.mkdir()
+    (d_o5m / "a.o5m").write_bytes(
+        encode_o5m([{"id": 1, "kind": "node", "tags": raw,
+                     "lat_1e7": 100, "lon_1e7": 200}]))
+    d_pbf = tmp_path / "pbf"; d_pbf.mkdir()
+    (d_pbf / "a.osm.pbf").write_bytes(
+        encode_pbf([{"id": 1, "kind": "node", "tags": raw,
+                     "lat_nano": 100, "lon_nano": 200}]))
+
+    for df in (read_osm_xml(spark, str(d_xml)), read_o5m(spark, str(d_o5m)),
+               read_pbf(spark, str(d_pbf))):
+        [row] = df.collect()
+        assert dict(row["tags"]) == want
