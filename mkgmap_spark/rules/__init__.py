@@ -20,3 +20,4 @@ matching); `add` only sets absent keys, `set` overwrites.
 from .parser import parse_rules  # noqa: F401
 from .compiler import compile_rules  # noqa: F401
 from .interpreter import interpret  # noqa: F401
+from .parser import used_tags  # noqa: F401

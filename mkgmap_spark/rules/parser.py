@@ -578,15 +578,52 @@ def _parse_single(p: _P, levels) -> Rule:
     return rules[0]
 
 
+# StyleFunction.supportsNode/Way/Relation (osmstyle/function/*.java):
+# which style functions are legal per rule-file kind.  POINT files only
+# accept osmid()/type(); geometry functions raise the reference's
+# SyntaxException ("testLengthInPoints").
+FUNCTIONS_BY_KIND = {
+    "point": {"fn:osmid", "fn:type"},
+    "line": None,  # all
+    "polygon": None,
+    "relation": {"fn:osmid", "fn:type", "fn:length"},
+}
+
+
+def _validate_function_kinds(rules: list[Rule], kind: str):
+    allowed = FUNCTIONS_BY_KIND.get(kind)
+    if allowed is None:
+        return
+
+    def walk(p):
+        if isinstance(p, Cond):
+            for k in (p.key, p.value_tag):
+                if k and k.startswith("fn:") and k not in allowed:
+                    raise ValueError(
+                        f"style function {k[3:]}() is not supported for {kind} rules"
+                    )
+        elif isinstance(p, Not):
+            walk(p.child)
+        elif isinstance(p, (And, Or)):
+            walk(p.left)
+            walk(p.right)
+
+    for r in rules:
+        walk(r.pred)
+
+
 def parse_rules(
     src: str,
     resolver=None,
     levels: list[tuple[int, int]] | None = None,
     _ifcounter: list[int] | None = None,
+    kind: str | None = None,
 ) -> list[Rule]:
     """Parse a rule file: a token stream of rules (rules may span
     lines); '#' comments; ``<finalize>`` marker; ``include``;
-    ``if/else/end`` desugaring (RuleFileReader.readIf:215-248)."""
+    ``if/else/end`` desugaring (RuleFileReader.readIf:215-248).
+    ``kind`` ('point'|'line'|'polygon'|'relation') enables the
+    per-FeatureKind style-function check of RuleFileReader."""
     levels = levels or DEFAULT_LEVELS
     counter = _ifcounter if _ifcounter is not None else [0]
     p = _P(_tokenize(src))
@@ -600,14 +637,25 @@ def parse_rules(
             p.next()
             in_finalize = True
             continue
-        if tok == "include":
+        # ``include=yes`` etc. is a predicate on a tag literally named
+        # "include" (RuleFileReader checks what follows the keyword)
+        _next = p.toks[p.i + 1] if p.i + 1 < len(p.toks) else None
+        if tok == "include" and _next not in ("=", "!=", "=*", "!=*", "<", "<=", ">", ">=", "~", "!~"):
             p.next()
             path = _unquote(p.next())
+            from_style = None
+            if p.peek() == "from":
+                # ``include 'file' from stylename;`` pulls the file out
+                # of ANOTHER style (RuleFileReader:176-189); resolvers
+                # that support it take an optional second argument
+                p.next()
+                from_style = _unquote(p.next())
             if p.peek() == ";":
                 p.next()
             if resolver is None:
                 raise ValueError(f"include {path!r} found but no resolver given")
-            sub = parse_rules(resolver(path), resolver=resolver, levels=levels, _ifcounter=counter)
+            src = resolver(path, from_style) if from_style is not None else resolver(path)
+            sub = parse_rules(src, resolver=resolver, levels=levels, _ifcounter=counter)
             for r in sub:
                 r.finalize = r.finalize or in_finalize
                 for ctx in if_stack:
@@ -647,6 +695,8 @@ def parse_rules(
             for ctx in if_stack:
                 r.pred = And(ctx, r.pred)
             rules.append(r)
+    if kind is not None:
+        _validate_function_kinds(rules, kind)
     return rules
 
 
@@ -658,4 +708,46 @@ def parse_rule_files(sources: list[str], resolver=None) -> list[Rule]:
     counter = [0]
     for src in sources:
         out.extend(parse_rules(src, resolver=resolver, _ifcounter=counter))
+    return out
+
+
+def used_tags(rules: list[Rule]) -> set[str]:
+    """Tags READ by a rule list (RuleSet.getUsedTags) — the scan-side
+    prune set: predicate keys and $tag refs, template tag refs in
+    action values, and rename sources.  Style-function pseudo-keys
+    (fn:*) and internal generated tags (mkgmap:gen:*) are excluded —
+    neither exists in the input tag table."""
+    out: set[str] = set()
+
+    def add(key: str | None):
+        if key and not key.startswith("fn:") and not key.startswith("mkgmap:gen:"):
+            out.add(key)
+
+    def walk_pred(p):
+        if isinstance(p, Cond):
+            add(p.key)
+            add(p.value_tag)
+        elif isinstance(p, Not):
+            walk_pred(p.child)
+        elif isinstance(p, (And, Or)):
+            walk_pred(p.left)
+            walk_pred(p.right)
+
+    def walk_template(t: Template):
+        for it in t.items:
+            if it.tag is not None:
+                add(it.tag)
+
+    def walk_action(a: Action):
+        for t in a.values:
+            walk_template(t)
+        if a.kind == "rename":
+            add(a.key)
+        for s in a.sub:
+            walk_action(s)
+
+    for r in rules:
+        walk_pred(r.pred)
+        for a in r.actions:
+            walk_action(a)
     return out

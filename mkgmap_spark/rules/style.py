@@ -143,7 +143,16 @@ def load_style(base: str, name: str | None = None) -> Style:
         with open(p, encoding="utf-8") as fh:
             return fh.read()
 
-    resolver = lambda pth: read(pth) or ""
+    def resolver(pth: str, from_style: str | None = None) -> str:
+        if from_style is not None:
+            # ``include 'file' from style;`` — the sibling style next
+            # to this one (StyleImpl resolves against the style base)
+            p = os.path.join(os.path.dirname(base.rstrip("/")), from_style, pth)
+            if os.path.exists(p):
+                with open(p, encoding="utf-8") as fh:
+                    return fh.read()
+            return ""
+        return read(pth) or ""
 
     # StyleImpl reads `version` first and rejects directories without
     # one ("Not a style file") — the guard that catches a typo'd style
@@ -173,7 +182,15 @@ def load_style(base: str, name: str | None = None) -> Style:
         src = read(fname)
         if src is None:
             continue
-        rules[fname] = parse_rules(src, resolver=resolver, levels=merged)
+        rules[fname] = parse_rules(
+            src,
+            resolver=resolver,
+            levels=merged,
+            # per-file FeatureKind style-function check (RuleFileReader:
+            # points files reject geometry functions like length())
+            kind={"points": "point", "lines": "line", "polygons": "polygon",
+                  "relations": "relation"}.get(fname),
+        )
 
     return Style(
         name=name or os.path.basename(base.rstrip("/")),
