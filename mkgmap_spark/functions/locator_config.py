@@ -56,6 +56,27 @@ def country_aliases() -> tuple[tuple[str, str], ...]:
     )
 
 
+@lru_cache(maxsize=1)
+def country_iso_map() -> dict[str, str]:
+    """UPPERCASE(trim(name | abr | variant)) -> 3-letter ISO, the
+    ``isoMap`` of LocatorConfig.getCountryISOCode — the lookup behind
+    the ``country-ISO`` value filter (CountryISOFilter.doFilter)."""
+    tree = ElementTree.parse(os.path.join(_DATA, "LocatorConfig.xml"))
+    iso_map: dict[str, str] = {}
+    for c in tree.getroot().iter("country"):
+        iso = (c.get("abr") or "").upper().strip()
+        if not iso:
+            continue
+        name = c.get("name")
+        if name:
+            iso_map[name.upper().strip()] = iso
+        iso_map[iso] = iso
+        for v in c.iter("variant"):
+            if v.text:
+                iso_map[v.text.upper().strip()] = iso
+    return iso_map
+
+
 def normalize_countries(places: DataFrame, col: str = "country") -> DataFrame:
     """Locator.normalizeCountry over a column: broadcast-join the
     alias dimension on upper(trim(col)), keep the input when unknown."""

@@ -181,8 +181,12 @@ def _compile_filter(cmd: str, arg: str, v: str, lt: str) -> str:
         return f"if({tv} is not null and {v} = {tv}, cast(null as string), {v})"
     if cmd == "substring":
         parts = arg.split(":")
+        if not arg or len(parts) > 2:
+            raise ValueError(f"substring filter needs 1 or 2 args, got {arg!r}")
         start = int(parts[0])
         end = int(parts[1]) if len(parts) == 2 else None
+        if end is not None and start > end:
+            raise ValueError(f"substring filter start > end: {arg!r}")
         rest = f"substring({v}, {start + 1}, {1 << 30})"
         if end is None:
             picked = rest

@@ -126,25 +126,13 @@ HWY_SYMBOLS = {
     "oval": "",
 }
 
-# country-ISO: the reference resolves via LocatorConfig.xml (a large
-# shipped data table).  We carry a compact builtin map of common names;
-# unknown names pass through unchanged like the reference's null-lookup
-# path (CountryISOFilter.java:doFilter).
-COUNTRY_ISO = {
-    "UNITED KINGDOM": "GBR", "ENGLAND": "GBR", "SCOTLAND": "GBR", "WALES": "GBR",
-    "UK": "GBR", "GREAT BRITAIN": "GBR",
-    "GERMANY": "DEU", "DEUTSCHLAND": "DEU",
-    "FRANCE": "FRA", "ITALY": "ITA", "ITALIA": "ITA", "SPAIN": "ESP", "ESPANA": "ESP",
-    "NETHERLANDS": "NLD", "NEDERLAND": "NLD", "BELGIUM": "BEL", "AUSTRIA": "AUT",
-    "OSTERREICH": "AUT", "SWITZERLAND": "CHE", "SCHWEIZ": "CHE",
-    "UNITED STATES": "USA", "USA": "USA", "UNITED STATES OF AMERICA": "USA",
-    "CANADA": "CAN", "AUSTRALIA": "AUS", "POLAND": "POL", "POLSKA": "POL",
-    "CZECHIA": "CZE", "CZECH REPUBLIC": "CZE", "DENMARK": "DNK", "DANMARK": "DNK",
-    "SWEDEN": "SWE", "SVERIGE": "SWE", "NORWAY": "NOR", "NORGE": "NOR",
-    "FINLAND": "FIN", "SUOMI": "FIN", "IRELAND": "IRL", "PORTUGAL": "PRT",
-    "RUSSIA": "RUS", "JAPAN": "JPN", "CHINA": "CHN", "INDIA": "IND",
-    "BRAZIL": "BRA", "MEXICO": "MEX",
-}
+# country-ISO: the reference resolves via LocatorConfig.xml's isoMap
+# (CountryISOFilter.doFilter -> LocatorConfig.getCountryISOCode);
+# unknown names pass through unchanged (null-lookup path).  The full
+# shipped table (data/LocatorConfig.xml) backs both engines.
+from ..functions.locator_config import country_iso_map as _country_iso_map
+
+COUNTRY_ISO = _country_iso_map()
 
 # transliteration now lives in functions/translit.py (complete
 # reference tables generated from the TableTransliterator rows data)
@@ -234,16 +222,20 @@ def apply_filter(cmd: str, arg: str, value: str | None, local_tags: dict) -> str
         tv = local_tags.get(arg)
         return None if (tv is not None and value == tv) else value
     if cmd == "substring":
+        # SubstringFilter: 1 or 2 ':'-separated args, start <= end —
+        # anything else is the reference's SyntaxException
+        parts = arg.split(":")
+        if not arg or len(parts) > 2:
+            raise ValueError(f"substring filter needs 1 or 2 args, got {arg!r}")
+        start = int(parts[0])
+        end = int(parts[1]) if len(parts) == 2 else None
+        if end is not None and start > end:
+            raise ValueError(f"substring filter start > end: {arg!r}")
         if value is None:
             return None
-        parts = arg.split(":")
-        start = int(parts[0])
         if start > len(value):
             return None
-        if len(parts) == 1:
-            return value[start:]
-        end = int(parts[1])
-        if end > len(value):
+        if end is None or end > len(value):
             return value[start:]
         return value[start:end]
     if cmd == "part":
