@@ -137,3 +137,51 @@ def test_bnd_roundtrip_and_pip(spark, tmp_path):
 def test_bnd_bad_magic():
     with pytest.raises(ValueError, match="unsupported boundary data type"):
         parse_bnd(b"\x00\x03XXX" + b"\x00" * 16)
+
+
+def test_hgtconverter_read_height_offset_math(tmp_path):
+    """Port of HGTConverterTest.testReadHeight/testLat0Top
+    (test/.../reader/hgt/HGTConverterTest.java).  The original uses a
+    downloaded S01W091.hgt (not shipped); here the same 1201x1201 file
+    is synthesized with the tested value 308 at hgt cell (x=348, y=931)
+    — whose file offset the reference asserts to be 646834 — and ocean
+    (0) elsewhere, so every offset/indexing assertion carries over."""
+    import struct
+
+    res = 1200
+    hgt_x, hgt_y = 348, 931
+    grid = np.zeros((res + 1, res + 1), dtype=np.int16)
+    grid[res - hgt_y, hgt_x] = 308  # row index from the north edge
+
+    p = os.path.join(tmp_path, "S01W091.hgt")
+    write_hgt(p, grid)
+    data = open(p, "rb").read()
+
+    # the reference's offset equation: 2 * ((res - y) * (res+1) + x)
+    file_offset = 2 * ((res - hgt_y) * (res + 1) + hgt_x)
+    assert file_offset == 646834
+    assert struct.unpack_from(">h", data, file_offset)[0] == 308
+
+    _, g = parse_hgt(data)
+    assert get_elevation(g, hgt_x, hgt_y) == 308
+
+    # bbox corners from testLat0Top are all ocean -> 0; the top edge is
+    # EXACTLY lat 0 (the r4065 ArrayIndexOutOfBounds regression): the
+    # north row is row index 0 / y == res, which must stay in bounds
+    assert get_elevation(g, 0, res) == 0
+    assert get_elevation(g, res, res) == 0
+    assert get_elevation(g, 0, 0) == 0
+    assert get_elevation(g, res, 0) == 0
+
+    # georeferencing: S01W091 covers lat -1..0, lon -91..-90
+    assert parse_hgt_name(p) == (-1, -91)
+
+    # the exact lattice point samples to its stored value under both
+    # interpolators (HGTConverter.interpolatedHeight at grid nodes)
+    from mkgmap_spark.operators.raster import bicubic_sample, bilinear_sample
+
+    px = grid[::-1].astype(np.float64).ravel()  # south-first like read_hgt
+    fx = np.array([float(hgt_x)])
+    fy = np.array([float(hgt_y)])  # south-first row == y from south
+    assert bilinear_sample(px, res + 1, res + 1, fx, fy)[0] == 308.0
+    assert bicubic_sample(px, res + 1, res + 1, fx, fy)[0] == 308.0

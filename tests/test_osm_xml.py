@@ -149,3 +149,16 @@ def test_raw_tag_squash_all_readers(spark, tmp_path):
                read_pbf(spark, str(d_pbf))):
         [row] = df.collect()
         assert dict(row["tags"]) == want
+
+
+def test_add_tag_from_raw_osm_cases():
+    """ElementTest.testaddTagFromRawOSM's exact value table."""
+    from mkgmap_spark.sources.o5m import squash_raw_tag
+
+    cases = {
+        "1": "1", "1 ": "1", " 1": "1", "1  2": "1 2",
+        "1  2  3": "1 2 3", "   1  2  3 4  ": "1 2 3 4",
+        " ": "", "   ": "",
+    }
+    for raw, want in cases.items():
+        assert squash_raw_tag(raw) == want, (raw, want)
