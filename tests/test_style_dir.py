@@ -124,3 +124,45 @@ def test_load_style_rejects_non_style_dir(tmp_path):
 
     with pytest.raises(ValueError, match="version"):
         load_style(str(tmp_path))
+
+
+def test_styleimpl_simple_info():
+    """StyleImplTest.testGetInfo/testGetOption on teststyles/simple."""
+    s = load_style(f"{TESTSTYLES}/simple")
+    assert s.info.get("version") == "2.2"
+    assert s.info.get("summary") == "A simple test style with just one example of most things"
+    assert s.info.get("description", "").strip() == "This style is used for testing."
+    # option levels: the braces form preserves both lines
+    assert s.levels == [(0, 24), (1, 20)]
+
+
+def test_styleimpl_empty_style():
+    """StyleImplTest.testEmptyFiles: an empty style loads fine."""
+    s = load_style(f"{TESTSTYLES}/empty")
+    assert s is not None
+
+
+def test_styleimpl_bad_style_name():
+    """StyleImplTest.testBadStyleName/testBadStyleFileOnFilesystem."""
+    import pytest
+
+    with pytest.raises(Exception):
+        load_style(f"{TESTSTYLES}/no-such-style")
+    with pytest.raises(Exception):
+        load_style("/no-such-place/hopefully")
+
+
+def test_value_with_unit_cases():
+    """Port of ValueWithUnitTest (osmstyle/eval): numeric extraction
+    validity and ordering, incl. the two-decimal-points regression
+    ('de.08315102.reistenhofweg' used to throw)."""
+    from mkgmap_spark.rules.interpreter import extract_number
+
+    assert extract_number("23") == 23.0
+    assert extract_number("abc") is None
+    assert extract_number("23") < extract_number("24")
+    assert extract_number("23.3") == 23.3
+    assert extract_number("23.5") > extract_number("23")
+    assert extract_number("23.45") < extract_number("23.46")
+    assert extract_number("23") == extract_number("23.0")
+    assert extract_number("de.08315102.reistenhofweg") is None  # no crash
