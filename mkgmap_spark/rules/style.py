@@ -162,7 +162,23 @@ def load_style(base: str, name: str | None = None) -> Style:
 
     info_txt = read("info") or ""
     info = parse_options(info_txt)
-    options = parse_options(read("options") or "")
+
+    # base-style derivation (StyleImpl:144-163): every `base-style:`
+    # line in info names a base loaded RECURSIVELY from the sibling
+    # directory; base options merge in before this style's own
+    # (mergeOptions before readOptions), and base rules append AFTER
+    # this style's rules in REVERSE declaration order — later-declared
+    # bases take priority, the first base comes last.
+    base_names = re.findall(r"^[ \t]*base-style[ \t]*[:=][ \t]*(\S+)", info_txt, re.M)
+    base_styles = [
+        load_style(os.path.join(os.path.dirname(base.rstrip("/")), bn), bn)
+        for bn in base_names
+    ]
+
+    options: dict[str, str] = {}
+    for bs in base_styles:
+        options.update(bs.options)
+    options.update(parse_options(read("options") or ""))
 
     levels = (
         parse_level_spec(options["levels"]) if options.get("levels") else list(DEFAULT_LEVELS)
@@ -191,6 +207,10 @@ def load_style(base: str, name: str | None = None) -> Style:
             kind={"points": "point", "lines": "line", "polygons": "polygon",
                   "relations": "relation"}.get(fname),
         )
+
+    for bs in reversed(base_styles):
+        for fname, rl in bs.rules.items():
+            rules.setdefault(fname, []).extend(rl)
 
     return Style(
         name=name or os.path.basename(base.rstrip("/")),
