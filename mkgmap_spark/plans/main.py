@@ -1,0 +1,169 @@
+"""The Main-equivalent front door: argv -> per-file tile builds.
+
+Reference: mkgmap/Main.java drives CommandArgsReader; each input file
+is converted with the options in force at its position (style, levels,
+code page, mapname), then the combiner stage (tdbfile / gmapsupp)
+aggregates the per-file outputs.  This module wires the same flow
+through the engine: plans/command_args.read_args picks the files +
+option snapshots, sources/* read the file by extension, the style
+engine resolves Garmin types (node -> points rules, open way -> lines
+rules, closed way -> lines+polygons per StyledConverter:336-349 /
+StyleImpl.getWayRules), and build_tiles_from_features runs the
+quadtree.  Combiner manifests come from plans/combiners when the
+corresponding flag options are present.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..rules import compile_rules
+from ..rules.style import Style, load_style, parse_level_spec
+from .command_args import FileArgs, read_args
+from .pipeline import (
+    TileBuildResult,
+    build_tiles_from_features,
+    elements_to_features,
+)
+
+
+def read_input(spark: SparkSession, path: str) -> DataFrame:
+    """Dispatch an input file to its reader by extension (the
+    reader/osm plugin selection of the reference)."""
+    lower = path.lower()
+    if lower.endswith((".osm", ".osm.gz", ".osm.bz2")):
+        from ..sources.osm_xml import read_osm_xml
+
+        return read_osm_xml(spark, path)
+    if lower.endswith(".o5m"):
+        from ..sources.o5m import read_o5m
+
+        return read_o5m(spark, path)
+    if lower.endswith((".pbf", ".osm.pbf")):
+        from ..sources.pbf import read_pbf
+
+        return read_pbf(spark, path)
+    if lower.endswith((".mp", ".mp.gz")):
+        from ..sources.polish import read_polish
+
+        return read_polish(spark, path)
+    raise ValueError(f"unrecognised input format: {path}")
+
+
+def styled_features(elements: DataFrame, style: Style) -> DataFrame:
+    """Elements -> styled features with the reference's rule-file
+    routing: nodes through points rules; open ways (or <4 points)
+    through lines rules; closed ways through lines+polygons."""
+    feats = elements_to_features(elements)  # min_res=24 placeholder
+
+    def styled(df: DataFrame, rules) -> DataFrame:
+        if not rules:
+            return df.limit(0)
+        out = compile_rules(rules, df, kind_col="kind", id_col="id")
+        return (
+            out.filter(F.size("results") > 0)
+            .withColumn(
+                "min_res", F.expr("array_min(transform(results, r -> r.min_res))")
+            )
+            .select(
+                "id", "kind", F.col("tags_out").alias("tags"),
+                "lats", "lons", "closed", "min_res",
+            )
+        )
+
+    nodes = feats.filter(F.col("kind") == "node")
+    ways = feats.filter(F.col("kind") == "way")
+    closed = F.col("closed") & (F.size("lats") >= 4)
+    open_ways = ways.filter(~closed)
+    closed_ways = ways.filter(closed)
+
+    points_rules = style.rules.get("points", [])
+    lines_rules = style.rules.get("lines", [])
+    way_rules = lines_rules + style.rules.get("polygons", [])
+
+    return (
+        styled(nodes, points_rules)
+        .unionByName(styled(open_ways, lines_rules))
+        .unionByName(styled(closed_ways, way_rules))
+    )
+
+
+def list_styles(style_file: str) -> list[tuple[str, str, str]]:
+    """--list-styles: (name, version, summary) for every style under a
+    style-file directory (StyleImpl.readStyles)."""
+    out = []
+    for name in sorted(os.listdir(style_file)):
+        d = os.path.join(style_file, name)
+        if not os.path.isdir(d):
+            continue
+        try:
+            s = load_style(d, name)
+        except ValueError:
+            continue  # not a style directory
+        out.append(
+            (name, s.info.get("version", ""), s.info.get("summary", ""))
+        )
+    return out
+
+
+@dataclass
+class FileBuild:
+    args: FileArgs
+    features: DataFrame
+    tiles: TileBuildResult
+
+
+@dataclass
+class RunResult:
+    builds: list[FileBuild]
+    tdb: DataFrame | None = None
+    gmapsupp: DataFrame | None = None
+
+
+def run_from_args(spark: SparkSession, argv: list[str]) -> RunResult:
+    """Process an mkgmap-style command line end-to-end.
+
+    Recognised options per file: --style-file=DIR [--style=name],
+    --levels=spec; global combiner flags: --tdbfile, --gmapsupp."""
+    parsed = read_args(argv)
+    builds: list[FileBuild] = []
+    for fa in parsed.files:
+        elements = read_input(spark, fa.name)
+        style_file = fa.get("style-file")
+        if style_file:
+            style_dir = style_file
+            if fa.get("style"):
+                style_dir = os.path.join(style_file, fa.get("style"))
+            style = load_style(style_dir)
+            feats = styled_features(elements, style)
+            levels = tuple(style.levels)
+        else:
+            feats = elements_to_features(elements)
+            levels = ((0, 24),)
+        if fa.get("levels"):
+            levels = tuple(parse_level_spec(fa.get("levels")))
+        tiles = build_tiles_from_features(spark, feats, levels=levels)
+        builds.append(FileBuild(fa, feats, tiles))
+
+    result = RunResult(builds)
+    opts = parsed.options
+    if builds and ("tdbfile" in opts or "gmapsupp" in opts):
+        from .combiners import gmapsupp_layout, tdb_manifest
+
+        first = builds[0].tiles
+        tiles_df = first.tiles
+        members = first.membership
+        for b in builds[1:]:
+            tiles_df = tiles_df.unionByName(b.tiles.tiles)
+            members = members.unionByName(b.tiles.membership)
+        mapname_base = int(opts.get("overview-mapnumber", "63240000"))
+        manifest = tdb_manifest(tiles_df, members, mapname_base=mapname_base + 1)
+        if "tdbfile" in opts:
+            result.tdb = manifest
+        if "gmapsupp" in opts:
+            result.gmapsupp = gmapsupp_layout(manifest)
+    return result

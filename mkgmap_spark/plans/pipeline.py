@@ -55,6 +55,27 @@ def build_tiles(
     the geometry actually assigned at a coarse level is the thinned
     one, like each Subdivision stores filtered points."""
     features = decode_documents(documents).filter(F.col("kind").isin("node", "way"))
+    return build_tiles_from_features(
+        spark,
+        features,
+        levels=levels,
+        cache=cache,
+        geometry_assign=geometry_assign,
+        geometry_filters=geometry_filters,
+    )
+
+
+def build_tiles_from_features(
+    spark: SparkSession,
+    features: DataFrame,
+    levels: tuple[tuple[int, int], ...] = DEFAULT_LEVELS,
+    cache: bool = True,
+    geometry_assign: bool = False,
+    geometry_filters: bool = False,
+) -> TileBuildResult:
+    """The build_tiles level loop over ALREADY-DECODED features
+    (id, kind, tags, lats, lons, closed, min_res) — the entry the
+    OSM-file front door (plans/main.py, elements_to_features) uses."""
     cols = ["id", "kind_i", "ay", "ax", "size_bytes", "min_res"]
     if geometry_assign:
         cols += ["lats", "lons"]

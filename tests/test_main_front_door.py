@@ -1,0 +1,103 @@
+"""The Main-equivalent front door (plans/main.py): a real mkgmap-style
+command line over .osm fixtures through style resolution, tile build,
+and the combiner manifests — the func/ArgsTest flow minus the binary
+.img outputs."""
+
+from __future__ import annotations
+
+import os
+import random
+
+from mkgmap_spark.plans.main import list_styles, run_from_args
+from mkgmap_spark.sources.osm_xml import write_osm_xml_fixture
+
+TESTSTYLES = "/root/reference/test/resources/teststyles"
+
+
+def _write_osm(path: str, seed: int = 7, n_nodes: int = 150, n_ways: int = 25):
+    rng = random.Random(seed)
+    els = []
+    for i in range(1, n_nodes + 1):
+        els.append(
+            {"id": i, "kind": "node",
+             "tags": {"amenity": "pub"} if i % 5 == 0 else {},
+             "lat_deg": rng.uniform(-5, 5), "lon_deg": rng.uniform(-5, 5)}
+        )
+    for w in range(1000, 1000 + n_ways):
+        refs = rng.sample(range(1, n_nodes + 1), 4)
+        tags = {"highway": "primary"} if w % 2 else {"highway": "primary", "x": "y"}
+        els.append({"id": w, "kind": "way", "tags": tags, "refs": refs})
+    write_osm_xml_fixture(path, els)
+
+
+def test_list_styles():
+    """ArgsTest.testListStyles: every teststyle shows up with its
+    version + summary."""
+    styles = dict((n, (v, s)) for n, v, s in list_styles(TESTSTYLES))
+    for expect in ("empty", "main", "simple", "derived"):
+        assert expect in styles
+    assert styles["simple"] == ("2.2", "A simple test style with just one example of most things")
+
+
+def test_run_single_file_with_style(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_osm(str(d / "map1.osm"))
+    res = run_from_args(
+        spark,
+        [f"--style-file={TESTSTYLES}", "--style=main", str(d / "map1.osm")],
+    )
+    [b] = res.builds
+    assert b.args.mapname == "63240001"
+    n = b.features.count()
+    assert n > 0
+    # every feature landed in a tile at the finest level
+    m = b.tiles.membership.filter("level = 0").count()
+    assert m >= n
+    assert res.tdb is None
+
+
+def test_run_two_files_with_combiners(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_osm(str(d / "11110001.osm"), seed=1)
+    _write_osm(str(d / "11110002.osm"), seed=2)
+    res = run_from_args(
+        spark,
+        [
+            f"--style-file={TESTSTYLES}", "--style=main",
+            "--tdbfile", "--gmapsupp",
+            str(d / "11110001.osm"), str(d / "11110002.osm"),
+        ],
+    )
+    assert [b.args.mapname for b in res.builds] == ["11110001", "11110002"]
+    assert res.tdb is not None and res.tdb.count() > 0
+    assert res.gmapsupp is not None and res.gmapsupp.count() > 0
+
+
+def test_run_respects_option_order(spark, tmp_path):
+    """Options take effect at their position: the second file gets the
+    overridden levels spec."""
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_osm(str(d / "a.osm"), seed=3)
+    _write_osm(str(d / "b.osm"), seed=4)
+    res = run_from_args(
+        spark,
+        [
+            f"--style-file={TESTSTYLES}", "--style=main",
+            str(d / "a.osm"),
+            "--levels=0:24 1:20",
+            str(d / "b.osm"),
+        ],
+    )
+    a, b = res.builds
+    assert a.args.get("levels") is None
+    assert b.args.get("levels") == "0:24 1:20"
+    lv_a = sorted(r[0] for r in a.tiles.tiles.select("level").distinct().collect())
+    lv_b = sorted(r[0] for r in b.tiles.tiles.select("level").distinct().collect())
+    assert lv_b == [0, 1]
+    # main teststyle declares 5 levels; coarse ones may be empty when
+    # no styled feature reaches their resolution, but more than the
+    # override's two must appear
+    assert len(lv_a) > 2 and lv_a[:2] == [0, 1]
