@@ -2842,6 +2842,68 @@ FROM bits
 """
 
 
+
+
+def q_typ_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYP text source round trip: one synthetic [_polygon]/[_line]/
+    [_point] section per part row through sources/typ_txt.parse_typ —
+    the full-type split (>= 0x100 -> type = v >> 8, subtype = v & 0xff),
+    label language decode, and FontStyle mapping, oracled by the same
+    arithmetic in SQL."""
+    from .sources.typ_txt import parse_typ
+
+    part = _read(spark, sf_dir, "part").select("p_partkey")
+
+    def kernel(it):
+        import pandas as _pd
+
+        sections = ["_polygon", "_line", "_point"]
+        fonts = ["NoLabel", "Small", "NormalFont", "Large", "Default"]
+        for pdf in it:
+            rows = []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                fulltype = 0x100 + (k % 0x2FF)
+                sec = sections[k % 3]
+                text = (
+                    f"[{sec}]\n"
+                    f"Type=0x{fulltype:x}\n"
+                    f"String1=0x{k % 10:x},P{k}\n"
+                    f"FontStyle={fonts[k % 5]}\n"
+                    "[end]\n"
+                )
+                d = parse_typ(text)
+                el = (d["polygons"] + d["lines"] + d["points"])[0]
+                rows.append(
+                    (k, sec[1:], el["type"], el["subtype"], el["font_style"],
+                     el["labels"][0][0], el["labels"][0][1])
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["p_partkey", "kind", "type_code", "subtype",
+                         "font_style", "lang", "label"],
+            )
+
+    return part.mapInPandas(
+        kernel,
+        "p_partkey long, kind string, type_code int, subtype int, "
+        "font_style int, lang int, label string",
+    )
+
+
+Q_TYP_ELEMENTS_SQL = """
+SELECT p_partkey,
+       CASE p_partkey % 3 WHEN 0 THEN 'polygon' WHEN 1 THEN 'line' ELSE 'point' END AS kind,
+       CAST((256 + p_partkey % 767) // 256 AS int) AS type_code,
+       CAST((256 + p_partkey % 767) % 256 AS int) AS subtype,
+       CAST(CASE p_partkey % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+                               WHEN 3 THEN 4 ELSE 0 END AS int) AS font_style,
+       CAST(p_partkey % 10 AS int) AS lang,
+       'P' || CAST(p_partkey AS varchar) AS label
+FROM part
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "style_rules": q_style_rules,
     "style_rules_full": q_style_rules_full,
@@ -2891,6 +2953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "poi_generate": q_poi_generate,
     "road_network": q_road_network,
     "roundabout_check": q_roundabout_check,
+    "typ_elements": q_typ_elements,
 }
 
 ORACLES: dict[str, str] = {
@@ -2947,4 +3010,5 @@ ORACLES: dict[str, str] = {
     "poi_generate": _poi_generate_oracle_sql(),
     "road_network": _road_network_oracle_sql(),
     "roundabout_check": Q_ROUNDABOUT_CHECK_SQL,
+    "typ_elements": Q_TYP_ELEMENTS_SQL,
 }
