@@ -175,3 +175,27 @@ def delete_tags_filter(
         return cond
 
     return df.withColumn(tags_col, F.map_filter(col, keep))
+
+
+def prune_unused_tags(
+    df: DataFrame, keep_keys, tags_col: str = "tags"
+) -> DataFrame:
+    """Keep only the tags a ruleset READS (RuleSet.getUsedTags-driven
+    pruning — the reference drops unused tags after style load so
+    element memory stays bounded).  ``keep_keys`` is typically
+    ``rules.used_tags(ruleset) | style.extra_used_tags``; the mkgmap:*
+    namespace always survives (set by earlier stages, read later).
+
+    Pure map_filter Columns — at scan time this shrinks the tag map
+    BEFORE the rule-engine fold ever copies it through the
+    accumulator, which is the dominant width at 100-TB inputs."""
+    keys = sorted(set(keep_keys))
+    col = F.col(tags_col)
+    return df.withColumn(
+        tags_col,
+        F.map_filter(
+            col,
+            lambda k, v: k.isin(*keys) | k.startswith("mkgmap:") if keys
+            else k.startswith("mkgmap:"),
+        ),
+    )

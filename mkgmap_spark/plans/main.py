@@ -54,11 +54,25 @@ def read_input(spark: SparkSession, path: str) -> DataFrame:
     raise ValueError(f"unrecognised input format: {path}")
 
 
-def styled_features(elements: DataFrame, style: Style) -> DataFrame:
+def styled_features(
+    elements: DataFrame, style: Style, prune: bool = True
+) -> DataFrame:
     """Elements -> styled features with the reference's rule-file
     routing: nodes through points rules; open ways (or <4 points)
-    through lines rules; closed ways through lines+polygons."""
+    through lines rules; closed ways through lines+polygons.
+
+    ``prune`` drops tags no rule file reads (RuleSet.getUsedTags +
+    the style's extra-used-tags) before the style fold — identical
+    output, much narrower tag maps through the shuffle."""
     feats = elements_to_features(elements)  # min_res=24 placeholder
+    if prune:
+        from ..operators.decode import prune_unused_tags
+        from ..rules import used_tags
+
+        keep = set(style.extra_used_tags)
+        for rl in style.rules.values():
+            keep |= used_tags(rl)
+        feats = prune_unused_tags(feats, keep)
 
     def styled(df: DataFrame, rules) -> DataFrame:
         if not rules:

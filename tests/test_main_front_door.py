@@ -101,3 +101,57 @@ def test_run_respects_option_order(spark, tmp_path):
     # no styled feature reaches their resolution, but more than the
     # override's two must appear
     assert len(lv_a) > 2 and lv_a[:2] == [0, 1]
+
+
+def test_used_tags_prune_invariant(spark, tmp_path):
+    """Pruning unread tags before the style fold changes NOTHING in
+    the styled output (RuleSet.getUsedTags semantics), while the tag
+    maps shrink."""
+    from pyspark.sql import functions as F
+
+    from mkgmap_spark.plans.main import styled_features
+    from mkgmap_spark.rules.style import load_style
+    from mkgmap_spark.sources.osm_xml import read_osm_xml, write_osm_xml_fixture
+
+    rng = random.Random(11)
+    els = []
+    for i in range(1, 120):
+        tags = {"junk%d" % (i % 9): "x", "note": "irrelevant"}
+        if i % 4 == 0:
+            tags["highway"] = "primary"
+        if i % 8 == 0:
+            tags["x"] = "y"
+        els.append({"id": i, "kind": "node", "tags": tags,
+                    "lat_deg": rng.uniform(-5, 5), "lon_deg": rng.uniform(-5, 5)})
+    for w in range(500, 520):
+        refs = rng.sample(range(1, 120), 4)
+        els.append({"id": w, "kind": "way",
+                    "tags": {"highway": "primary", "junk1": "z", "x": "y"},
+                    "refs": refs})
+    d = tmp_path / "osm"
+    d.mkdir()
+    write_osm_xml_fixture(str(d / "a.osm"), els)
+
+    style = load_style(f"{TESTSTYLES}/main")
+    elements = read_osm_xml(spark, str(d))
+
+    def key(df):
+        return sorted(
+            (r["id"], r["min_res"]) for r in df.select("id", "min_res").collect()
+        )
+
+    pruned = styled_features(elements, style, prune=True)
+    full = styled_features(elements, style, prune=False)
+    assert key(pruned) == key(full)
+
+    # the junk tags are gone from the pruned plan's input maps
+    from mkgmap_spark.operators.decode import prune_unused_tags
+    from mkgmap_spark.plans.pipeline import elements_to_features
+    from mkgmap_spark.rules import used_tags
+
+    keep = set(style.extra_used_tags)
+    for rl in style.rules.values():
+        keep |= used_tags(rl)
+    narrowed = prune_unused_tags(elements_to_features(elements), keep)
+    ks = narrowed.select(F.explode(F.map_keys("tags")).alias("k")).distinct().collect()
+    assert not any(r["k"].startswith("junk") for r in ks)
