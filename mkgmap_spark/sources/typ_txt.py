@@ -359,3 +359,51 @@ def F_input_file_name():
     from pyspark.sql import functions as F
 
     return F.input_file_name().alias("file")
+
+
+# ColourInfo scheme flags (imgfmt/app/typ/ColourInfo.java:32-35)
+S_NIGHT = 0x1
+S_DAY_TRANSPARENT = 0x2
+S_NIGHT_TRANSPARENT = 0x4
+S_HAS_BITMAP = 0x8
+
+
+def colour_scheme(
+    colors: list[dict], has_bitmap: bool = False, has_border: bool = False
+) -> int:
+    """ColourInfo.getColourScheme over parsed xpm colour entries
+    (rgb None = transparent): 4 colours imply day+night pairs, a
+    2-colour no-bitmap no-border palette is the both-transparent
+    day/night scheme, and a day-only scheme inherits the day
+    transparency bit for night."""
+    n = len(colors)
+    scheme = 0
+    if has_bitmap:
+        scheme |= S_HAS_BITMAP
+    if n == 4:
+        scheme |= S_NIGHT
+    if not has_bitmap and not has_border and n == 2:
+        scheme |= S_NIGHT | S_DAY_TRANSPARENT | S_NIGHT_TRANSPARENT
+    if n < 2 or colors[1]["rgb"] is None:
+        scheme |= S_DAY_TRANSPARENT
+    if n == 4 and colors[3]["rgb"] is None:
+        scheme |= S_NIGHT_TRANSPARENT
+    if not (scheme & S_NIGHT) and (scheme & S_DAY_TRANSPARENT):
+        scheme |= S_NIGHT_TRANSPARENT
+    return scheme
+
+
+def bits_per_pixel(ncolors: int, simple: bool = False) -> int:
+    """ColourInfo.getBitsPerPixel: written-bitmap depth by palette
+    size (transparent pixels count)."""
+    if simple:
+        return 1
+    if ncolors == 0:
+        return 24
+    if ncolors < 2:
+        return 1
+    if ncolors < 4:
+        return 2
+    if ncolors < 16:
+        return 4
+    return 8

@@ -249,3 +249,35 @@ def test_read_typ_table(spark, tmp_path):
         for p in polys
         for lbl in p["labels"]
     )
+
+
+def test_colour_scheme_cases():
+    """Port of ColourInfoTest (imgfmt/app/typ): the colour-scheme code
+    for every palette/transparency/bitmap/border combination."""
+    from mkgmap_spark.sources.typ_txt import bits_per_pixel, colour_scheme
+
+    C = lambda: {"tag": "x", "rgb": "#010101", "alpha": None}
+    T = lambda: {"tag": "x", "rgb": None, "alpha": None}
+
+    assert colour_scheme([C()]) == 6
+    assert colour_scheme([C(), C()]) == 7
+    assert colour_scheme([C(), T(), C(), C()]) == 3
+    assert colour_scheme([C(), C(), C(), T()]) == 5
+    assert colour_scheme([C(), T(), C(), T()]) == 7
+    assert colour_scheme([C(), C()], has_bitmap=True) == 8
+    assert colour_scheme([C(), T()], has_bitmap=True) == 0xE
+    assert colour_scheme([C(), T(), C(), C()], has_bitmap=True) == 0xB
+    assert colour_scheme([C(), C(), C(), T()], has_bitmap=True) == 0xD
+    assert colour_scheme([C(), T(), C(), T()], has_bitmap=True) == 0xF
+    assert colour_scheme([C()], has_border=True) == 6
+    assert colour_scheme([C(), C()], has_border=True) == 0
+    assert colour_scheme([C(), T(), C(), C()], has_border=True) == 3
+
+    assert bits_per_pixel(0) == 24
+    assert bits_per_pixel(1) == 1
+    assert bits_per_pixel(2) == 2
+    assert bits_per_pixel(3) == 2
+    assert bits_per_pixel(4) == 4
+    assert bits_per_pixel(15) == 4
+    assert bits_per_pixel(16) == 8
+    assert bits_per_pixel(200, simple=True) == 1
