@@ -146,6 +146,24 @@ def run_from_args(spark: SparkSession, argv: list[str]) -> RunResult:
     parsed = read_args(argv)
     builds: list[FileBuild] = []
     for fa in parsed.files:
+        if fa.name.startswith("test-map:"):
+            # synthetic test maps bypass styling — they emit typed
+            # features directly (ElementTestDataSource)
+            from ..sources.test_source import all_elements, test_points
+
+            which = fa.name.split(":", 1)[1]
+            if which == "all-elements":
+                feats = all_elements(spark)
+            elif which == "test-points":
+                feats = test_points(spark, npoints=int(fa.get("npoints", "10")))
+            else:
+                raise ValueError(f"unknown test map: {fa.name}")
+            levels = ((0, 24),)
+            if fa.get("levels"):
+                levels = tuple(parse_level_spec(fa.get("levels")))
+            tiles = build_tiles_from_features(spark, feats, levels=levels)
+            builds.append(FileBuild(fa, feats, tiles))
+            continue
         elements = read_input(spark, fa.name)
         style_file = fa.get("style-file")
         if style_file:

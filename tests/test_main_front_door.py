@@ -155,3 +155,36 @@ def test_used_tags_prune_invariant(spark, tmp_path):
     narrowed = prune_unused_tags(elements_to_features(elements), keep)
     ks = narrowed.select(F.explode(F.map_keys("tags")).alias("k")).distinct().collect()
     assert not any(r["k"].startswith("junk") for r in ks)
+
+
+def test_test_map_sources(spark):
+    """TestSourceTest: test-map:all-elements and test-map:test-points
+    generate their deterministic grids (reader/test/AllElements.java,
+    TestPoints.java) and build tiles through the front door."""
+    from pyspark.sql import functions as F
+
+    from mkgmap_spark.sources.test_source import all_elements, test_points
+
+    ae = all_elements(spark)
+    # per pass: 1 + 127*33 points, 4*16 lines, 8*16 shapes; two passes
+    # plus the background shape
+    per_map = (1 + 127 * 33) + 4 * 16 + 8 * 16
+    assert ae.count() == 2 * per_map + 1
+    kinds = {r["kind"]: r["count"] for r in ae.groupBy("kind").count().collect()}
+    assert kinds["node"] == 2 * (1 + 127 * 33)
+    # point 0x23 appears (as type 0x23 with subtype -1) AND as 0x2300
+    codes = {r["type_code"] for r in ae.filter("kind='node'").select("type_code").distinct().collect()}
+    assert 0x23 in codes and 0x2300 in codes
+    # GType.formatType names: plain pass names subtype>=0 points
+    named = ae.filter(F.col("name") == "0x2300").count()
+    assert named == 1
+    assert ae.filter(F.col("name") == "background").count() == 1
+
+    tp = test_points(spark, npoints=10)
+    assert tp.count() == 200
+    res = {r["min_res"] for r in tp.filter("kind='node'").select("min_res").distinct().collect()}
+    assert res == set(range(17, 25))  # 24 - (x & 7)
+
+    res = run_from_args(spark, ["test-map:all-elements"])
+    [b] = res.builds
+    assert b.tiles.membership.count() >= 2 * per_map + 1
