@@ -2904,6 +2904,48 @@ FROM part
 """
 
 
+
+
+def q_test_map_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The test-map:all-elements synthetic source
+    (reader/test/AllElements.java) aggregated per (kind, type_code):
+    row counts and named counts — the full generation arithmetic
+    (maintype/subtype grid with the maintype-0 break, two passes with
+    complementary naming, lines/shapes grids, background) reproduced
+    by a closed-form SQL oracle.  sf_dir is unused (the source is
+    self-generating, like the reference's test-map: inputs)."""
+    from .sources.test_source import all_elements
+
+    del sf_dir
+    ae = all_elements(spark)
+    return ae.groupBy("kind", "type_code").agg(
+        F.count(F.lit(1)).alias("n"), F.count("name").alias("named")
+    )
+
+
+Q_TEST_MAP_GRID_SQL = """
+WITH passes AS (SELECT unnest([0,1]) AS p),
+grid AS (SELECT mt.range AS mt, s.range AS sub FROM range(0,128) mt, range(-1,32) s
+         WHERE mt.range > 0 OR s.range = -1),
+pts AS (
+  SELECT p, CAST(CASE WHEN sub < 0 THEN mt ELSE mt*256+sub END AS int) AS type_code,
+         CASE WHEN (sub < 0) = (p = 1) THEN 1 ELSE 0 END AS named
+  FROM passes, grid),
+lines AS (SELECT p, CAST(t.range AS int) AS type_code, CASE WHEN p=0 THEN 1 ELSE 0 END AS named
+          FROM passes, range(0,64) t),
+shapes AS (SELECT p, CAST(t.range AS int) AS type_code, CASE WHEN p=1 THEN 1 ELSE 0 END AS named
+           FROM passes, range(0,128) t),
+allr AS (
+  SELECT 'node' AS kind, type_code, named FROM pts
+  UNION ALL SELECT 'way', type_code, named FROM lines
+  UNION ALL SELECT 'way', type_code, named FROM shapes
+  UNION ALL SELECT 'way', CAST(81 AS int), 1)
+SELECT kind, type_code, CAST(COUNT(*) AS bigint) AS n,
+       CAST(SUM(named) AS bigint) AS named
+FROM allr GROUP BY kind, type_code
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "style_rules": q_style_rules,
     "style_rules_full": q_style_rules_full,
@@ -2954,6 +2996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "road_network": q_road_network,
     "roundabout_check": q_roundabout_check,
     "typ_elements": q_typ_elements,
+    "test_map_grid": q_test_map_grid,
 }
 
 ORACLES: dict[str, str] = {
@@ -3011,4 +3054,5 @@ ORACLES: dict[str, str] = {
     "road_network": _road_network_oracle_sql(),
     "roundabout_check": Q_ROUNDABOUT_CHECK_SQL,
     "typ_elements": Q_TYP_ELEMENTS_SQL,
+    "test_map_grid": Q_TEST_MAP_GRID_SQL,
 }
