@@ -188,7 +188,13 @@ def prune_unused_tags(
 
     Pure map_filter Columns — at scan time this shrinks the tag map
     BEFORE the rule-engine fold ever copies it through the
-    accumulator, which is the dominant width at 100-TB inputs."""
+    accumulator, which is the dominant width at 100-TB inputs.
+
+    Parity note: like the reference (ValueBuilder.getUsedTags only
+    collects template tag names; OsmHandler.keepTag then drops
+    everything outside the set), a tag read ONLY through a filter
+    argument (e.g. ``not-contained:;:route_ref``) is not in the read
+    set — both engines prune it identically."""
     keys = sorted(set(keep_keys))
     col = F.col(tags_col)
     return df.withColumn(
