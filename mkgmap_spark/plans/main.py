@@ -54,8 +54,44 @@ def read_input(spark: SparkSession, path: str) -> DataFrame:
     raise ValueError(f"unrecognised input format: {path}")
 
 
+def apply_name_tag_list(df: DataFrame, name_tags: list[str]) -> DataFrame:
+    """--name-tag-list (NameFinder.setNameWithNameTagList): the first
+    set tag of the list becomes the ``name`` tag (replacing any
+    existing name unless the winner IS ``name``)."""
+    if not name_tags or name_tags == ["name"]:
+        return df
+    first = F.coalesce(*[F.col("tags").getItem(t) for t in name_tags])
+    return df.withColumn(
+        "tags",
+        F.when(
+            first.isNotNull(),
+            F.map_concat(
+                F.map_filter(F.col("tags"), lambda k, v: k != F.lit("name")),
+                F.map_from_arrays(F.array(F.lit("name")), F.array(first)),
+            ),
+        ).otherwise(F.col("tags")),
+    )
+
+
+def style_option_tags(style_option: str) -> dict[str, str]:
+    """--style-option=car;farms=more -> the mkgmap:option:* tags added
+    to every element before style processing
+    (StyledConverter.parseStyleOption)."""
+    out: dict[str, str] = {}
+    for t in style_option.split(";"):
+        if not t:
+            continue
+        pair = t.split("=")
+        out["mkgmap:option:" + pair[0]] = pair[1] if len(pair) > 1 else "true"
+    return out
+
+
 def styled_features(
-    elements: DataFrame, style: Style, prune: bool = True
+    elements: DataFrame,
+    style: Style,
+    prune: bool = True,
+    name_tags: list[str] | None = None,
+    style_option: str | None = None,
 ) -> DataFrame:
     """Elements -> styled features with the reference's rule-file
     routing: nodes through points rules; open ways (or <4 points)
@@ -65,11 +101,27 @@ def styled_features(
     the style's extra-used-tags) before the style fold — identical
     output, much narrower tag maps through the shuffle."""
     feats = elements_to_features(elements)  # min_res=24 placeholder
+    if style_option:
+        opts = style_option_tags(style_option)
+        if opts:
+            keys = list(opts)
+            feats = feats.withColumn(
+                "tags",
+                F.map_concat(
+                    F.map_filter(F.col("tags"), lambda k, v: ~k.isin(*keys)),
+                    F.map_from_arrays(
+                        F.array(*[F.lit(k) for k in keys]),
+                        F.array(*[F.lit(opts[k]) for k in keys]),
+                    ),
+                ),
+            )
+    if name_tags:
+        feats = apply_name_tag_list(feats, name_tags)
     if prune:
         from ..operators.decode import prune_unused_tags
         from ..rules import used_tags
 
-        keep = set(style.extra_used_tags)
+        keep = set(style.extra_used_tags) | set(name_tags or [])
         for rl in style.rules.values():
             keep |= used_tags(rl)
         feats = prune_unused_tags(feats, keep)
@@ -171,7 +223,19 @@ def run_from_args(spark: SparkSession, argv: list[str]) -> RunResult:
             if fa.get("style"):
                 style_dir = os.path.join(style_file, fa.get("style"))
             style = load_style(style_dir)
-            feats = styled_features(elements, style)
+            name_tags = None
+            if fa.get("name-tag-list"):
+                import re as _re
+
+                name_tags = [
+                    t for t in _re.split(r"[,\s]+", fa.get("name-tag-list")) if t
+                ]
+            feats = styled_features(
+                elements,
+                style,
+                name_tags=name_tags,
+                style_option=fa.get("style-option"),
+            )
             levels = tuple(style.levels)
         else:
             feats = elements_to_features(elements)

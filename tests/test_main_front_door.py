@@ -188,3 +188,38 @@ def test_test_map_sources(spark):
     res = run_from_args(spark, ["test-map:all-elements"])
     [b] = res.builds
     assert b.tiles.membership.count() >= 2 * per_map + 1
+
+
+def test_name_tag_list_and_style_option(spark):
+    """--name-tag-list (NameFinder.setNameWithNameTagList) and
+    --style-option (StyledConverter.parseStyleOption) tag injection."""
+    from mkgmap_spark.plans.main import apply_name_tag_list, style_option_tags
+
+    df = spark.createDataFrame(
+        [
+            (1, {"name": "local", "name:en": "english", "int_name": "intl"}),
+            (2, {"int_name": "intl only"}),
+            (3, {"name": "only local"}),
+            (4, {}),
+        ],
+        "id long, tags map<string,string>",
+    )
+    out = {
+        r["id"]: dict(r["tags"])
+        for r in apply_name_tag_list(df, ["name:en", "int_name", "name"]).collect()
+    }
+    assert out[1]["name"] == "english"       # first of the list wins
+    assert out[2]["name"] == "intl only"     # fallback down the list
+    assert out[3]["name"] == "only local"    # name itself in the list
+    assert "name" not in out[4]
+
+    # name-tag-list 'name' alone is the identity (NameFinder returns
+    # null compiled list)
+    out1 = {r["id"]: dict(r["tags"]) for r in apply_name_tag_list(df, ["name"]).collect()}
+    assert out1[1]["name"] == "local"
+
+    assert style_option_tags("car;farms=more;admin5=10") == {
+        "mkgmap:option:car": "true",
+        "mkgmap:option:farms": "more",
+        "mkgmap:option:admin5": "10",
+    }
