@@ -117,6 +117,7 @@ def styled_features(
             )
     if name_tags:
         feats = apply_name_tag_list(feats, name_tags)
+
     if prune:
         from ..operators.decode import prune_unused_tags
         from ..rules import used_tags
@@ -125,6 +126,33 @@ def styled_features(
         for rl in style.rules.values():
             keep |= used_tags(rl)
         feats = prune_unused_tags(feats, keep)
+    # relation rules run next (StyledConverter.convertRelation
+    # before convertWay/convertNode): apply/apply_once pushes mutate
+    # member tags before way/node styling sees them.  Scan-time
+    # pruning above is safe — pushed tags land AFTER it, and the keep
+    # set already covers every tag any rule file (incl. relations)
+    # reads, so member styling still sees the pushes.
+    rel_rules = style.rules.get("relations", [])
+    if rel_rules and "members" in elements.columns:
+        rels = elements.filter(
+            (F.col("kind") == "relation") & (F.size("members") > 0)
+        ).select("id", "tags", "members")
+        if rels.limit(1).count() > 0:
+            from ..operators.relations import apply_pushed_to_members
+
+            rel_out = compile_rules(
+                rel_rules,
+                rels,
+                id_col="id",
+                is_relation=True,
+                with_pushed=True,
+            )
+            feats = apply_pushed_to_members(
+                rels.select("id", "members"),
+                feats,
+                rel_rules,
+                relations_out=rel_out,
+            )
 
     def styled(df: DataFrame, rules) -> DataFrame:
         if not rules:

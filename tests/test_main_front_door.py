@@ -223,3 +223,59 @@ def test_name_tag_list_and_style_option(spark):
         "mkgmap:option:farms": "more",
         "mkgmap:option:admin5": "10",
     }
+
+
+def test_relation_rules_push_to_members(spark, tmp_path):
+    """StyledConverter.convertRelation runs BEFORE way conversion:
+    relation-rule ``apply`` pushes mutate member tags, and the way
+    rules then match on the pushed tags (the route=bicycle pattern
+    from the reference's style manual)."""
+    from mkgmap_spark.plans.main import styled_features
+    from mkgmap_spark.rules.style import load_style
+    from mkgmap_spark.sources.osm_xml import read_osm_xml
+
+    sd = tmp_path / "styles" / "rel"
+    sd.mkdir(parents=True)
+    (sd / "version").write_text("0\n")
+    (sd / "relations").write_text(
+        "type=route & route=bicycle"
+        " { apply { set cycleroute=yes; add rref='${ref}'; } }\n"
+    )
+    (sd / "lines").write_text(
+        "cycleroute=yes [0x11 resolution 18]\n"
+        "highway=path [0x16 resolution 24]\n"
+    )
+    style = load_style(str(sd))
+
+    els = []
+    for i in range(1, 9):
+        els.append({"id": i, "kind": "node", "tags": {},
+                    "lat_deg": float(i) / 10, "lon_deg": float(i) / 7})
+    # ways 100/101 are members of the route; 102 is not
+    for w, refs in ((100, [1, 2, 3]), (101, [3, 4, 5]), (102, [5, 6, 7])):
+        els.append({"id": w, "kind": "way",
+                    "tags": {"highway": "path"}, "refs": refs})
+    els.append({
+        "id": 500, "kind": "relation",
+        "tags": {"type": "route", "route": "bicycle", "ref": "R66"},
+        "members": [
+            {"mtype": "way", "ref": 100, "role": ""},
+            {"mtype": "way", "ref": 101, "role": ""},
+        ],
+    })
+    d = tmp_path / "osm"
+    d.mkdir()
+    write_osm_xml_fixture(str(d / "r.osm"), els)
+    elements = read_osm_xml(spark, str(d))
+
+    out = {
+        r["id"]: (r["min_res"], dict(r["tags"]))
+        for r in styled_features(elements, style).collect()
+    }
+    # member ways matched the pushed cycleroute tag -> resolution 18
+    # beats the highway=path 24; the relation's ref is substituted in
+    assert out[100][0] == 18 and out[101][0] == 18
+    assert out[100][1].get("rref") == "R66"
+    # the non-member way only matches highway=path
+    assert out[102][0] == 24
+    assert "cycleroute" not in out[102][1]
