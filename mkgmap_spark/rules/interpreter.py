@@ -99,6 +99,46 @@ def java_round(x: float) -> int:
     return int(math.floor(x + 0.5))
 
 
+def _java_re_compat(pattern: str) -> str:
+    """Java Pattern accepts quantified anchors (``^+3530`` compiles; a
+    one-or-more of the zero-width ``^`` is just ``^``) where Python's
+    ``re`` raises "nothing to repeat" — the reference style manual's
+    phone-normalization example relies on this
+    (ValueBuilderTest.testQuotedSplitLines).  Collapse ``^+``/``$+``
+    runs outside character classes; the compiled SQL twin runs Java
+    regex natively and needs no shim."""
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            continue
+        if c in "^$":
+            j = i + 1
+            while j < n and pattern[j] == "+":
+                j = j + 1
+            out.append(c)
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def format_2dp(x: float) -> str:
     """DecimalFormat('0.0#') stand-in shared with the compiler: round
     half-up to 2 dp, shortest repr (always >= 1 decimal for floats)."""
@@ -192,7 +232,7 @@ def apply_filter(cmd: str, arg: str, value: str | None, local_tags: dict) -> str
         if is_re:
             # Java replaceAll replacement syntax: $N group refs
             rep = re.sub(r"\$(\d+)", r"\\\1", to.replace("\\", "\\\\"))
-            return re.sub(frm, rep, value) if frm else value
+            return re.sub(_java_re_compat(frm), rep, value) if frm else value
         return value.replace(frm, to)
     if cmd == "prefix":
         if value is None:
