@@ -134,8 +134,15 @@ def _random_ruleset(rng: random.Random, n_rules: int) -> str:
             return f"({pred(depth+1)} | {pred(depth+1)})"
         if depth < 2 and c < 0.45:
             return f"!({pred(depth+1)})"
+        if depth < 2 and c < 0.5:
+            # double-not: the shape behind the reference's n989225
+            # random-failure reduction (ExpressionArrangerTest)
+            return f"!!({pred(depth+1)})"
         k = rng.choice(keys)
-        op = rng.choice(["=", "!=", "=*", "!=*", ">", "<", "~"])
+        op = rng.choice(["=", "!=", "=*", "!=*", ">", "<", "~", "=$"])
+        if op == "=$":
+            # tag-value reference compare (testEqualTagValue shape)
+            return f"{k}={'$'}{rng.choice(keys)}"
         if op in ("=*", "!=*"):
             return f"{k}{op}"
         if op == "~":
