@@ -463,3 +463,83 @@ def _style_from_char(s: str) -> str:
     if c == "0":
         return "O"  # zero instead of capital O (NumberStyle.fromChar:64-66)
     return c if c in "NEOB" else "N"
+
+
+# ------------------------------------------------------------------
+# NET numbering bit-stream round trip (imgfmt/app/net/NumberPreparer)
+# ------------------------------------------------------------------
+
+_NS_ROUNDTRIP_SCHEMA = (
+    "road_id long, node int, l_style string, l_start int, l_end int, "
+    "r_style string, r_start int, r_end int"
+)
+
+
+def roundtrip_number_streams(intervals: DataFrame) -> DataFrame:
+    """Encode each road's per-node interval records into the Garmin
+    NET numbering bit stream and decode them back.
+
+    Input: one row per (road, node) with the polish-format fields
+    node / l_style / l_start / l_end / r_style / r_start / r_end.
+    Output: the decoded records — equal to the input whenever the
+    records are parity-consistent (the reference's own test property,
+    NumberPreparerTest / NumberRangeTest).
+
+    Scale shape: one ``collect_list`` per road (bounded by the node
+    count of a single road, i.e. tiny), then an Arrow-batched kernel;
+    roads are independent, so this is a single keyed exchange followed
+    by embarrassingly parallel per-row work — no driver state.
+    """
+    import pandas as pd
+
+    from ..functions.numbers_codec import (
+        BitReader,
+        NumberPreparer,
+        NumberReader,
+        NumberSpec,
+    )
+
+    grouped = intervals.groupBy("road_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "node", "l_style", "l_start", "l_end",
+                    "r_style", "r_start", "r_end",
+                )
+            )
+        ).alias("recs")
+    )
+
+    cols = [
+        "road_id", "node", "l_style", "l_start", "l_end",
+        "r_style", "r_start", "r_end",
+    ]
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for road_id, recs in zip(pdf["road_id"], pdf["recs"]):
+                specs = []
+                for r in recs:
+                    n = NumberSpec()
+                    n.node = int(r["node"])
+                    n.index = n.node
+                    n.set_numbers(True, r["l_style"], int(r["l_start"]), int(r["l_end"]))
+                    n.set_numbers(False, r["r_style"], int(r["r_start"]), int(r["r_end"]))
+                    specs.append(n)
+                prep = NumberPreparer(specs)
+                bw = prep.fetch_bit_stream()
+                if not prep.is_valid():
+                    # surfaces as an oracle mismatch rather than a crash
+                    continue
+                nr = NumberReader(BitReader(bw.get_bytes()[: bw.length]))
+                nr.set_number_of_nodes(specs[-1].get_index() + 1)
+                for d in nr.read_numbers(prep.get_swapped()):
+                    rows.append((
+                        int(road_id), d.get_index(),
+                        d.left_style, d.left_start, d.left_end,
+                        d.right_style, d.right_start, d.right_end,
+                    ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return grouped.mapInPandas(kernel, _NS_ROUNDTRIP_SCHEMA)

@@ -2946,6 +2946,83 @@ FROM allr GROUP BY kind, type_code
 """
 
 
+# --------------------------------------------------------------------------
+# q: NET numbering bit-stream round trip (imgfmt/app/net/NumberPreparer.java
+#    + NumberReader.java — encode per-road house-number intervals into the
+#    Garmin bit stream and decode them back; round trip is identity for
+#    parity-consistent records, the reference's own NumberPreparerTest
+#    property)
+# --------------------------------------------------------------------------
+
+
+def q_number_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize deterministic per-road interval records (1-4 nodes per
+    road; odd/even sides, side-swapped roads, descending-left roads),
+    push each road through the NET bit-stream encoder and reader, and
+    return the decoded records.  The oracle regenerates the same records
+    in SQL — the codec must reproduce its input exactly."""
+    from .operators.housenumbers import roundtrip_number_streams
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    base = c.select(
+        k.alias("road_id"),
+        F.explode(F.sequence(F.lit(0), F.pmod(k, 4))).alias("node"),
+    )
+    kk = F.col("road_id")
+    j = F.col("node").cast("long")
+    ls = F.pmod(kk * 7 + j * 13, F.lit(50)) * 2 + 1
+    le = ls + (F.pmod(kk + 3 * j, F.lit(10)) + 1) * 2
+    rs = F.pmod(kk * 11 + j * 17, F.lit(50)) * 2 + 2
+    re_ = rs + (F.pmod(kk + 5 * j, F.lit(10)) + 1) * 2
+    swapped = F.pmod(kk, F.lit(3)) == 1     # left even, right odd
+    descending = F.pmod(kk, F.lit(6)) == 3  # left range runs downhill
+    intervals = base.select(
+        "road_id",
+        F.col("node").cast("int").alias("node"),
+        F.when(swapped, "E").otherwise("O").alias("l_style"),
+        F.when(swapped, rs).when(descending, le).otherwise(ls)
+        .cast("int").alias("l_start"),
+        F.when(swapped, re_).when(descending, ls).otherwise(le)
+        .cast("int").alias("l_end"),
+        F.when(swapped, "O").otherwise("E").alias("r_style"),
+        F.when(swapped, ls).otherwise(rs).cast("int").alias("r_start"),
+        F.when(swapped, le).otherwise(re_).cast("int").alias("r_end"),
+    )
+    return roundtrip_number_streams(intervals)
+
+
+Q_NUMBER_STREAMS_SQL = """
+WITH n AS (
+  SELECT c_custkey AS road_id,
+         unnest(generate_series(0, CAST(c_custkey % 4 AS BIGINT))) AS node
+  FROM customer
+), v AS (
+  SELECT road_id, node,
+         ((road_id*7 + node*13) % 50) * 2 + 1 AS ls,
+         ((road_id*7 + node*13) % 50) * 2 + 1
+           + ((road_id + 3*node) % 10 + 1) * 2 AS le,
+         ((road_id*11 + node*17) % 50) * 2 + 2 AS rs,
+         ((road_id*11 + node*17) % 50) * 2 + 2
+           + ((road_id + 5*node) % 10 + 1) * 2 AS re,
+         road_id % 3 = 1 AS swapped,
+         road_id % 6 = 3 AS descending
+  FROM n
+)
+SELECT CAST(road_id AS BIGINT) AS road_id,
+       CAST(node AS INT) AS node,
+       CASE WHEN swapped THEN 'E' ELSE 'O' END AS l_style,
+       CAST(CASE WHEN swapped THEN rs WHEN descending THEN le ELSE ls END
+            AS INT) AS l_start,
+       CAST(CASE WHEN swapped THEN re WHEN descending THEN ls ELSE le END
+            AS INT) AS l_end,
+       CASE WHEN swapped THEN 'O' ELSE 'E' END AS r_style,
+       CAST(CASE WHEN swapped THEN ls ELSE rs END AS INT) AS r_start,
+       CAST(CASE WHEN swapped THEN le ELSE re END AS INT) AS r_end
+FROM v
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "style_rules": q_style_rules,
     "style_rules_full": q_style_rules_full,
@@ -2997,6 +3074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "roundabout_check": q_roundabout_check,
     "typ_elements": q_typ_elements,
     "test_map_grid": q_test_map_grid,
+    "number_streams": q_number_streams,
 }
 
 ORACLES: dict[str, str] = {
@@ -3055,4 +3133,5 @@ ORACLES: dict[str, str] = {
     "roundabout_check": Q_ROUNDABOUT_CHECK_SQL,
     "typ_elements": Q_TYP_ELEMENTS_SQL,
     "test_map_grid": Q_TEST_MAP_GRID_SQL,
+    "number_streams": Q_NUMBER_STREAMS_SQL,
 }

@@ -330,3 +330,50 @@ def test_random_ranges_round_trip():
             if rand.randrange(3) > 1:
                 break
         run(*sl)
+
+
+# ------------------------------------------------------------------
+# The gate query's synthesis space (queries.q_number_streams): every
+# road pattern — plain, side-swapped, descending-left — must round-trip
+# to identity, since the DuckDB oracle simply regenerates the input.
+# ------------------------------------------------------------------
+
+def _gate_rows(k):
+    rows = []
+    for j in range(k % 4 + 1):
+        ls = (k * 7 + j * 13) % 50 * 2 + 1
+        le = ls + ((k + 3 * j) % 10 + 1) * 2
+        rs = (k * 11 + j * 17) % 50 * 2 + 2
+        re_ = rs + ((k + 5 * j) % 10 + 1) * 2
+        if k % 3 == 1:
+            rows.append((j, "E", rs, re_, "O", ls, le))
+        elif k % 6 == 3:
+            rows.append((j, "O", le, ls, "E", rs, re_))
+        else:
+            rows.append((j, "O", ls, le, "E", rs, re_))
+    return rows
+
+
+def test_gate_synthesis_round_trips():
+    for k in range(1, 2001):
+        rows = _gate_rows(k)
+        specs = []
+        for (j, lsty, ls, le, rsty, rs, re_) in rows:
+            n = NumberSpec()
+            n.node = j
+            n.index = j
+            n.set_numbers(True, lsty, ls, le)
+            n.set_numbers(False, rsty, rs, re_)
+            specs.append(n)
+        prep = NumberPreparer(specs)
+        bw = prep.fetch_bit_stream()
+        assert prep.is_valid(), k
+        nr = NumberReader(BitReader(bw.get_bytes()[: bw.length]))
+        nr.set_number_of_nodes(specs[-1].get_index() + 1)
+        out = nr.read_numbers(prep.get_swapped())
+        got = [
+            (d.get_index(), d.left_style, d.left_start, d.left_end,
+             d.right_style, d.right_start, d.right_end)
+            for d in out
+        ]
+        assert got == rows, k
