@@ -181,6 +181,20 @@ class GType:
     road_class: int = 0  # Java int field defaults (GType.java:45-46)
     road_speed: int = 0
     default_name: str | None = None
+    min_level: int = 0   # derived from resolutions (GType.fixLevels)
+    max_level: int = -1
+
+    def fix_levels(self, levels: list[tuple[int, int]]) -> None:
+        """GType.fixLevels:130-138 — derive the level range from the
+        resolution range.  LevelInfo sorts highest level number first
+        (ascending bits), so the LAST level whose bits fit wins."""
+        self.max_level = -1
+        self.min_level = 0
+        for lv, bits in sorted(levels, key=lambda t: -t[0]):
+            if bits <= self.min_res:
+                self.max_level = lv
+            if bits <= self.max_res:
+                self.min_level = lv
 
 
 @dataclass
@@ -511,6 +525,7 @@ class _P:
                 raise ValueError(f"unsupported type-def attribute {t!r}")
         self.expect("]")
         del saw_res
+        g.fix_levels(levels)  # TypeReader.readType:95
         return g, cont, cont and propagate
 
     def _next_int_value(self) -> int:

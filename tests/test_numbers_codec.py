@@ -377,3 +377,29 @@ def test_gate_synthesis_round_trips():
             for d in out
         ]
         assert got == rows, k
+
+
+# ------------------------------------------------------------------
+# RoadDefTest.java (testBitArray): the writeNod2 byte-packing loop
+# must agree with BitWriter.put1 for any bit array.
+# ------------------------------------------------------------------
+
+def test_bit_array_matches_put1_loop():
+    rand = random.Random(0xD06)
+    for trial in range(50):
+        n = 26 if trial == 0 else rand.randrange(1, 64)
+        bits = [rand.random() < 0.5 for _ in range(n)]
+
+        # the loop taken from RoadDef.writeNod2
+        loop = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                if i + j < len(bits) and bits[i + j]:
+                    b |= 1 << j
+            loop.append(b)
+
+        bw = BitWriter()
+        for bit in bits:
+            bw.put1(bit)
+        assert bw.get_bytes()[: bw.length] == bytes(loop)
