@@ -270,3 +270,33 @@ def label_encode6_col(col):
         return s.map(_one)
 
     return _enc(col)
+
+
+def label_roundtrip6_col(col):
+    """Spark surface for the format-6 round trip: encode the label,
+    decode the truncated byte stream back, and report the encoded
+    length — one stateless Arrow-batched projection (no shuffle).
+
+    Exercises Format6Encoder + Format6Decoder end-to-end
+    (imgfmt/app/labelenc/Format6Encoder.java / Format6Decoder.java):
+    for ascii inputs the decode equals upper(text) and the length is
+    the closed-form (sixes*6)//8 + 1, which is what the SQL oracle of
+    the `label_roundtrip` gate query checks."""
+    from pyspark.sql import functions as F
+
+    def _one(v):
+        if v is None:
+            return None
+        e = encode_format6(v)
+        dec, _ = decode_format6((e.ctext or b"")[: e.length])
+        return {"decoded": dec, "enc_len": e.length}
+
+    @F.pandas_udf("struct<decoded: string, enc_len: int>")
+    def _rt(s: pd.Series) -> pd.DataFrame:
+        out = s.map(_one)
+        return pd.DataFrame(
+            [(None, None) if v is None else (v["decoded"], v["enc_len"]) for v in out],
+            columns=["decoded", "enc_len"],
+        )
+
+    return _rt(col)

@@ -3023,6 +3023,55 @@ FROM v
 """
 
 
+# --------------------------------------------------------------------------
+# q: Garmin format-6 label round trip (imgfmt/app/labelenc/
+#    Format6Encoder.java + Format6Decoder.java — 6-bit packing with
+#    symbol shifts; decode(encode(s)) == upper(s) for ascii labels and
+#    the encoded byte length is closed-form)
+# --------------------------------------------------------------------------
+
+
+def q_label_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode part and customer names into the 6-bit LBL stream and
+    decode them back; emit the decoded text and encoded length.  The
+    oracle computes upper(name) and (sixes*6)//8+1 in SQL, where
+    non-[A-Z0-9 space] chars cost an extra six for the symbol shift."""
+    from .functions.labelenc import label_roundtrip6_col
+
+    p = _read(spark, sf_dir, "part").select(
+        F.lit("part").alias("src"),
+        F.col("p_partkey").cast("long").alias("key"),
+        F.col("p_name").alias("name"),
+    )
+    c = _read(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("c_name").alias("name"),
+    )
+    rt = p.unionByName(c).withColumn("rt", label_roundtrip6_col(F.col("name")))
+    return rt.select(
+        "src", "key",
+        F.col("rt.decoded").alias("decoded"),
+        F.col("rt.enc_len").alias("enc_len"),
+    )
+
+
+Q_LABEL_ROUNDTRIP_SQL = """
+WITH names AS (
+  SELECT 'part' AS src, CAST(p_partkey AS BIGINT) AS key, p_name AS name
+  FROM part
+  UNION ALL
+  SELECT 'customer', CAST(c_custkey AS BIGINT), c_name FROM customer
+)
+SELECT src, key,
+       upper(name) AS decoded,
+       CAST(((length(name)
+              + length(regexp_replace(upper(name), '[A-Z0-9 ]', '', 'g'))
+             ) * 6) // 8 + 1 AS INT) AS enc_len
+FROM names
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "style_rules": q_style_rules,
     "style_rules_full": q_style_rules_full,
@@ -3075,6 +3124,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "typ_elements": q_typ_elements,
     "test_map_grid": q_test_map_grid,
     "number_streams": q_number_streams,
+    "label_roundtrip": q_label_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -3134,4 +3184,5 @@ ORACLES: dict[str, str] = {
     "typ_elements": Q_TYP_ELEMENTS_SQL,
     "test_map_grid": Q_TEST_MAP_GRID_SQL,
     "number_streams": Q_NUMBER_STREAMS_SQL,
+    "label_roundtrip": Q_LABEL_ROUNDTRIP_SQL,
 }
