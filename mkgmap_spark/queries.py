@@ -3072,6 +3072,191 @@ FROM names
 """
 
 
+def q_dem_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize deterministic 16x16 elevation tiles (five terrain
+    regimes: smooth, rough, plateau-stepped, void-pocked, constant),
+    push every tile through the Garmin DEM bit-stream encoder and
+    decoder (DEMTile.java's adaptive predictive coder), and re-emit
+    the cells with the derived header fields.  The oracle regenerates
+    the heights in SQL (codec identity) and recomputes base /
+    max_delta / enc_type per tile from scratch (header parity)."""
+    from .operators.dem import roundtrip_dem_tiles
+
+    s = _read(spark, sf_dir, "supplier")
+    t = F.col("tile_id")
+    i = F.col("idx")
+    cells = s.select(
+        F.col("s_suppkey").cast("long").alias("tile_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(255))).alias("idx"),
+    ).select(
+        "tile_id",
+        i.cast("int").alias("idx"),
+        F.when(t % 5 == 0,
+               (t % 97) + ((i * 31 + t) % 7) - 3)
+         .when(t % 5 == 1,
+               (i * 7919 + t * 104729) % 4001)
+         .when(t % 5 == 2,
+               (((F.expr("idx div 8") * 13) + t) % 50) * 7)
+         .when(t % 5 == 3,
+               F.when((i * 13 + t) % 11 == 0, F.lit(-32768))
+                .otherwise((i * 5 + t * 3) % 300))
+         .otherwise(t % 100)
+         .cast("int").alias("height"),
+    )
+    return roundtrip_dem_tiles(cells, 16, 16)
+
+
+Q_DEM_TILES_SQL = """
+WITH cells AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS tile_id,
+         unnest(generate_series(0, 255)) AS idx
+  FROM supplier
+), h AS (
+  SELECT tile_id, idx,
+    CASE tile_id % 5
+      WHEN 0 THEN (tile_id % 97) + ((idx * 31 + tile_id) % 7) - 3
+      WHEN 1 THEN (idx * 7919 + tile_id * 104729) % 4001
+      WHEN 2 THEN (((idx // 8) * 13 + tile_id) % 50) * 7
+      WHEN 3 THEN CASE WHEN (idx * 13 + tile_id) % 11 = 0 THEN -32768
+                       ELSE (idx * 5 + tile_id * 3) % 300 END
+      ELSE tile_id % 100
+    END AS height
+  FROM cells
+), hdr AS (
+  SELECT tile_id,
+         MIN(height) FILTER (WHERE height <> -32768) AS vmin,
+         MAX(height) FILTER (WHERE height <> -32768) AS vmax,
+         BOOL_OR(height = -32768) AS has_void
+  FROM h GROUP BY tile_id
+)
+SELECT h.tile_id AS tile_id,
+       CAST(h.idx AS INT) AS idx,
+       CAST(h.height AS INT) AS height,
+       CAST(hdr.vmin AS INT) AS base,
+       CAST(hdr.vmax - hdr.vmin
+            + CASE WHEN hdr.has_void THEN 1 ELSE 0 END AS INT) AS max_delta,
+       CAST(CASE WHEN hdr.has_void THEN 2 ELSE 0 END AS INT) AS enc_type
+FROM h JOIN hdr ON h.tile_id = hdr.tile_id
+"""
+
+
+def q_dem_section(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carve synthetic DEM sections (25 maps x 3 zoom levels with
+    deterministic extents; every fifth map hits the exact-multiple
+    remainder edge) into their Garmin tile grids — DEMSection's
+    getTileInfo/calcTiles arithmetic: one-sample overlap pad,
+    half-tile remainder promotion, 65..95-point fold-in on the last
+    row/column.  The oracle replays the same integer arithmetic in
+    SQL."""
+    from .operators.dem import section_tile_grid
+
+    n = _read(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    zoomed = n.select(
+        k.alias("map_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("zoom"),
+    ).select(
+        "map_id", "zoom",
+        (F.lit(16) * F.when(F.col("zoom") == 0, 1)
+                       .when(F.col("zoom") == 1, 2)
+                       .otherwise(4)).alias("point_dist"),
+    )
+    mid = F.col("map_id")
+    secs = zoomed.select(
+        "map_id", "zoom", "point_dist",
+        ((mid % 10) * 10000).alias("area_top"),
+        ((mid % 7) * 12000).alias("area_left"),
+        F.when(mid % 5 == 0, F.lit(191) * F.col("point_dist"))
+         .otherwise(F.lit(3000) + (mid * 977) % 90000).alias("area_height"),
+        (F.lit(2500) + (mid * 1409) % 110000).alias("area_width"),
+    )
+    grid = section_tile_grid(secs)
+    return grid.select(
+        "map_id",
+        F.col("zoom").cast("int").alias("zoom"),
+        F.col("point_dist").cast("int").alias("point_dist"),
+        F.col("tiles_lat").cast("int").alias("tiles_lat"),
+        F.col("tiles_lon").cast("int").alias("tiles_lon"),
+        F.col("nonstd_lat").cast("int").alias("nonstd_lat"),
+        F.col("nonstd_lon").cast("int").alias("nonstd_lon"),
+        F.col("tile_row").cast("int").alias("tile_row"),
+        F.col("tile_col").cast("int").alias("tile_col"),
+        F.col("lat_off").cast("long").alias("lat_off"),
+        F.col("lon_off").cast("long").alias("lon_off"),
+        F.col("tile_height").cast("int").alias("tile_height"),
+        F.col("tile_width").cast("int").alias("tile_width"),
+    )
+
+
+Q_DEM_SECTION_SQL = """
+WITH z AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS map_id,
+         unnest(generate_series(0, 2)) AS zoom
+  FROM nation
+), s AS (
+  SELECT map_id, zoom,
+         16 * CASE zoom WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS point_dist
+  FROM z
+), a AS (
+  SELECT *,
+    (map_id % 10) * 10000 AS area_top,
+    (map_id % 7) * 12000 AS area_left,
+    CASE WHEN map_id % 5 = 0 THEN 191 * point_dist
+         ELSE 3000 + (map_id * 977) % 90000 END AS area_height,
+    2500 + (map_id * 1409) % 110000 AS area_width
+  FROM s
+), g AS (
+  SELECT *,
+    (area_height + point_dist) // (64 * point_dist) AS nfull_lat,
+    (area_height + point_dist) % (64 * point_dist) AS rest_lat,
+    (area_width + point_dist) // (64 * point_dist) AS nfull_lon,
+    (area_width + point_dist) % (64 * point_dist) AS rest_lon
+  FROM a
+), t AS (
+  SELECT *,
+    rest_lat // point_dist
+      + CASE WHEN rest_lat % point_dist <> 0 THEN 1 ELSE 0 END AS ns0_lat,
+    rest_lon // point_dist
+      + CASE WHEN rest_lon % point_dist <> 0 THEN 1 ELSE 0 END AS ns0_lon
+  FROM g
+), gg AS (
+  SELECT *,
+    GREATEST(nfull_lat + CASE WHEN ns0_lat >= 32 THEN 1 ELSE 0 END,
+             1) AS tiles_lat,
+    CASE WHEN ns0_lat >= 32 THEN ns0_lat
+         ELSE ns0_lat + CASE WHEN nfull_lat > 0 THEN 64 ELSE 0 END
+    END AS nonstd_lat,
+    GREATEST(nfull_lon + CASE WHEN ns0_lon >= 32 THEN 1 ELSE 0 END,
+             1) AS tiles_lon,
+    CASE WHEN ns0_lon >= 32 THEN ns0_lon
+         ELSE ns0_lon + CASE WHEN nfull_lon > 0 THEN 64 ELSE 0 END
+    END AS nonstd_lon
+  FROM t
+), rows_lat AS (
+  SELECT *, unnest(generate_series(0, tiles_lat - 1)) AS tile_row FROM gg
+), cells AS (
+  SELECT *, unnest(generate_series(0, tiles_lon - 1)) AS tile_col
+  FROM rows_lat
+)
+SELECT map_id,
+       CAST(zoom AS INT) AS zoom,
+       CAST(point_dist AS INT) AS point_dist,
+       CAST(tiles_lat AS INT) AS tiles_lat,
+       CAST(tiles_lon AS INT) AS tiles_lon,
+       CAST(nonstd_lat AS INT) AS nonstd_lat,
+       CAST(nonstd_lon AS INT) AS nonstd_lon,
+       CAST(tile_row AS INT) AS tile_row,
+       CAST(tile_col AS INT) AS tile_col,
+       CAST(area_top - tile_row * point_dist * 64 AS BIGINT) AS lat_off,
+       CAST(area_left + tile_col * point_dist * 64 AS BIGINT) AS lon_off,
+       CAST(CASE WHEN tile_row = tiles_lat - 1 THEN nonstd_lat
+                 ELSE 64 END AS INT) AS tile_height,
+       CAST(CASE WHEN tile_col = tiles_lon - 1 THEN nonstd_lon
+                 ELSE 64 END AS INT) AS tile_width
+FROM cells
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "style_rules": q_style_rules,
     "style_rules_full": q_style_rules_full,
@@ -3125,6 +3310,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "test_map_grid": q_test_map_grid,
     "number_streams": q_number_streams,
     "label_roundtrip": q_label_roundtrip,
+    "dem_tiles": q_dem_tiles,
+    "dem_section": q_dem_section,
 }
 
 ORACLES: dict[str, str] = {
@@ -3185,4 +3372,6 @@ ORACLES: dict[str, str] = {
     "test_map_grid": Q_TEST_MAP_GRID_SQL,
     "number_streams": Q_NUMBER_STREAMS_SQL,
     "label_roundtrip": Q_LABEL_ROUNDTRIP_SQL,
+    "dem_tiles": Q_DEM_TILES_SQL,
+    "dem_section": Q_DEM_SECTION_SQL,
 }
