@@ -21,9 +21,20 @@ same fixed size), output size == input size.
 
 from __future__ import annotations
 
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# DEM units: 2^29 units per 45 degrees (DEMFile.FACTOR / HGTConverter.FACTOR)
+FACTOR = 45.0 / (1 << 29)
+# allowed widening of the HGT read area in degrees (DEMFile.EXTRA)
+EXTRA = 0.1
+_UNDEF = -0x8000
 
 _ROUNDTRIP_SCHEMA = (
     "tile_id bigint, idx int, height int, "
@@ -106,12 +117,13 @@ def encode_dem_tiles(cells: DataFrame, key_cols) -> DataFrame:
         F.sort_array(F.collect_list(F.struct("idx", "height"))).alias("cells")
     )
     out_cols = keys + ["tile_width", "tile_height", "base", "max_delta",
-                       "enc_type", "bs_len", "has_data", "max_height"]
+                       "enc_type", "bs_len", "has_data", "max_height",
+                       "stream"]
     schema = ", ".join(
         [f"{k} bigint" for k in keys]
         + ["tile_width int", "tile_height int", "base int", "max_delta int",
            "enc_type int", "bs_len int", "has_data boolean",
-           "max_height int"])
+           "max_height int", "stream binary"])
 
     def kernel(batches):
         for pdf in batches:
@@ -126,7 +138,7 @@ def encode_dem_tiles(cells: DataFrame, key_cols) -> DataFrame:
                 has_data = any(v != UNDEF for v in heights)
                 rows.append(tuple(int(rec[k]) for k in keys) + (
                     w, h, base, md, et, len(bs), has_data,
-                    base + md - (0 if et == 0 else 1),
+                    base + md - (0 if et == 0 else 1), bs,
                 ))
             yield pd.DataFrame(rows, columns=out_cols)
 
@@ -202,3 +214,369 @@ def roundtrip_dem_tiles(cells: DataFrame, width: int, height: int) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return grouped.mapInPandas(kernel, _ROUNDTRIP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Level planning (DEMFile.calc / calcTREBounds, DEMFile.java:74-137)
+# ---------------------------------------------------------------------------
+
+def _java_rem(a: int, b: int) -> int:
+    r = abs(a) % abs(b)
+    return r if a >= 0 else -r
+
+
+def _move_up(lat32: int, distance: int) -> int:
+    # DEMFile.moveUp: snap north to the distance raster
+    moved = lat32 - _java_rem(lat32, distance)
+    if lat32 >= 0 and moved < 0x3FFFFFFF - distance:
+        moved += distance
+    return moved
+
+
+def _move_left(lon32: int, distance: int) -> int:
+    # DEMFile.moveLeft: snap west to the distance raster
+    moved = lon32 - _java_rem(lon32, distance)
+    if lon32 < 0 and moved > -(1 << 31) + distance:
+        moved -= distance
+    return moved
+
+
+def calc_tre_bounds(min_lat_mu: int, min_lon_mu: int,
+                    max_lat_mu: int, max_lon_mu: int,
+                    alignment: int = 4) -> Tuple[int, int, int, int]:
+    """Widen and align the tile bbox for the TRE header
+    (DEMFile.calcTREBounds): grow one unit, round each edge outward to
+    the alignment, widen bottom/right one more step, clamp to the
+    world.  Returns map units (min_lat, min_lon, max_lat, max_lon)."""
+    from ..mapunits import to_map_unit
+
+    top = max_lat_mu + 1
+    left = min_lon_mu - 1
+    bottom = min_lat_mu + 1
+    right = max_lon_mu - 1
+    while top % alignment != 0:
+        top += 1
+    while left % alignment != 0:
+        left -= 1
+    while bottom % alignment != 0:
+        bottom += 1
+    while right % alignment != 0:
+        right -= 1
+    bottom -= alignment
+    right += alignment
+    right = min(right, to_map_unit(180.0))
+    left = max(left, to_map_unit(-180.0))
+    top = min(top, to_map_unit(90.0))
+    bottom = max(bottom, to_map_unit(-90.0))
+    return bottom, left, top, right
+
+
+@dataclass
+class DemLevel:
+    zoom: int
+    top: int            # DEM units
+    left: int
+    area_height: int
+    area_width: int
+    point_dist: int
+    last: bool
+
+
+def dem_level_plan(min_lat_mu: int, min_lon_mu: int,
+                   max_lat_mu: int, max_lon_mu: int,
+                   point_dists: List[int],
+                   highest_res: int = 1200) -> Tuple[Tuple[int, int, int, int], List[DemLevel]]:
+    """Derive the per-zoom DEM sections for a tile bbox (map units) and
+    the --dem-dists list: TRE-aligned DEM-unit corners, distance
+    rounding to a multiple of 16, raster alignment when the distance
+    fits inside the EXTRA widening (DEMFile.calc).  A point_dist of -1
+    derives the distance from the best available HGT resolution."""
+    tre = calc_tre_bounds(min_lat_mu, min_lon_mu, max_lat_mu, max_lon_mu)
+    bottom_mu, left_mu, top_mu, right_mu = tre
+    top = top_mu * 256
+    bottom = bottom_mu * 256
+    left = left_mu * 256
+    right = right_mu * 256
+
+    levels: List[DemLevel] = []
+    last_dist = point_dists[-1]
+    align_limit = int(math.floor(EXTRA / 45.0 * (1 << 29)))
+    for zoom, point_dist in enumerate(point_dists):
+        distance = point_dist
+        if distance == -1:
+            res = highest_res if highest_res > 0 else 1200
+            distance = int(round((1 << 29) / (res * 45.0)))
+        distance = ((distance + 8) // 16) * 16
+        x_top, x_left = top, left
+        if distance < align_limit:
+            x_top = _move_up(top, distance)
+            x_left = _move_left(left, distance)
+        levels.append(DemLevel(zoom, x_top, x_left, x_top - bottom,
+                               right - x_left, distance,
+                               point_dist == last_dist))
+    return tre, levels
+
+
+# ---------------------------------------------------------------------------
+# Lattice sampling (HGTConverter.getHeights / getElevation /
+# interpolatedHeight, HGTConverter.java:115-185, 379-442)
+# ---------------------------------------------------------------------------
+
+def interpolated_height_vec(qx: np.ndarray, qy: np.ndarray,
+                            hlt: np.ndarray, hrt: np.ndarray,
+                            hrb: np.ndarray, hlb: np.ndarray) -> np.ndarray:
+    """Vectorized twin of HGTConverter.interpolatedHeight: bilinear
+    interpolation with the reference's void-corner ladder — a single
+    missing corner is extrapolated from the other three unless the
+    sample sits near it; two or more missing corners degrade to an
+    edge interpolation or the nearest corner."""
+    hlt = hlt.astype(np.float64)
+    hrt = hrt.astype(np.float64)
+    hrb = hrb.astype(np.float64)
+    hlb = hlb.astype(np.float64)
+    u_lt = hlt == _UNDEF
+    u_rt = hrt == _UNDEF
+    u_rb = hrb == _UNDEF
+    u_lb = hlb == _UNDEF
+    n_undef = (u_lt.astype(np.int8) + u_rt.astype(np.int8)
+               + u_rb.astype(np.int8) + u_lb.astype(np.int8))
+
+    def jround(x):
+        return np.floor(x + 0.5)  # Java Math.round, not banker's rounding
+
+    nearest = np.where(qx < 0.5, np.where(qy < 0.5, hlb, hlt),
+                       np.where(qy < 0.5, hrb, hrt))
+    top_edge = jround((1.0 - qx) * hlt + qx * hrt)
+    bottom_edge = jround((1.0 - qx) * hlb + qx * hrb)
+    left_edge = jround((1.0 - qy) * hlb + qy * hlt)
+    right_edge = jround((1.0 - qy) * hrb + qy * hrt)
+
+    out = np.full(qx.shape, float(_UNDEF))
+    done = np.zeros(qx.shape, dtype=bool)
+
+    def settle(mask, values):
+        pick = mask & ~done
+        out[pick] = values[pick] if isinstance(values, np.ndarray) else values
+        done[pick] = True
+
+    # ladder order matters: lb, rt, rb, lt (the reference's else-if chain)
+    multi_lb = u_lb & (u_rb | u_lt | u_rt)
+    settle(multi_lb & ~u_rt & ~u_lt & (qy > 0.5), top_edge)
+    settle(multi_lb & ~u_rt & ~u_rb & (qx > 0.5), right_edge)
+    settle(multi_lb, nearest)
+    only_lb = u_lb & ~done & (n_undef == 1)
+    settle(only_lb & (qx + qy < 0.4), float(_UNDEF))
+    hlb = np.where(u_lb & ~done, hlt + hrb - hrt, hlb)
+
+    multi_rt = u_rt & ~done & (u_lb | u_rb | u_lt)
+    settle(multi_rt & ~u_lb & ~u_rb & (qy < 0.5), bottom_edge)
+    settle(multi_rt & ~u_lb & ~u_lt & (qx < 0.5), left_edge)
+    settle(multi_rt, nearest)
+    only_rt = u_rt & ~done & (n_undef == 1)
+    settle(only_rt & (qx + qy > 1.6), float(_UNDEF))
+    hrt = np.where(u_rt & ~done, hlt + hrb - hlb, hrt)
+
+    multi_rb = u_rb & ~done & (u_lb | u_lt | u_rt)
+    settle(multi_rb & ~u_lt & ~u_rt & (qy > 0.5), top_edge)
+    settle(multi_rb & ~u_lt & ~u_lb & (qx < 0.5), left_edge)
+    settle(multi_rb, nearest)
+    only_rb = u_rb & ~done & (n_undef == 1)
+    settle(only_rb & (qy < qx - 0.4), float(_UNDEF))
+    hrb = np.where(u_rb & ~done, hlb + hrt - hlt, hrb)
+
+    multi_lt = u_lt & ~done & (u_lb | u_rb | u_rt)
+    settle(multi_lt & ~u_rb & ~u_lb & (qy < 0.5), bottom_edge)
+    settle(multi_lt & ~u_rb & ~u_rt & (qx > 0.5), right_edge)
+    settle(multi_lt, nearest)
+    only_lt = u_lt & ~done & (n_undef == 1)
+    settle(only_lt & (qy > qx + 0.6), float(_UNDEF))
+    hlt = np.where(u_lt & ~done, hlb + hrt - hrb, hlt)
+
+    hxt = (1.0 - qx) * hlt + qx * hrt
+    hxb = (1.0 - qx) * hlb + qx * hrb
+    bilinear = jround((1.0 - qy) * hxb + qy * hxt)
+    out[~done] = bilinear[~done]
+    return out.astype(np.int32)
+
+
+def sample_hgt_lattice(cells: DataFrame,
+                       hgt_grids: Dict[Tuple[int, int], Tuple[int, np.ndarray]],
+                       min_lat_deg: int, min_lon_deg: int,
+                       outside_height: int = _UNDEF) -> DataFrame:
+    """Sample elevation at every lattice point.  ``cells`` carries a
+    DEM-unit position (lat32, lon32) per point plus any pass-through
+    columns; ``hgt_grids`` maps integer-degree SW corners to
+    (res, south-first (res+1)^2 int16 grid) as produced by
+    ``sources/hgt.py``.  (min_lat_deg, min_lon_deg) is the reader-grid
+    origin; positions index into it through the reference's
+    map-unit-quantized arithmetic (HGTConverter.java:81-82,122-139 —
+    the origin passes through toMapUnit's 24-bit rounding, so samples
+    carry the same sub-pixel offset the reference produces).  Points
+    whose degree cell has no grid get ``outside_height``; the
+    180-degree overflow guard (origin east of 0 but the point wrapped
+    to <= 0) applies too.
+
+    Scale shape: the HGT dimension for one map tile is tens of
+    one-degree grids — broadcast once per job; sampling is a
+    mapInPandas over the lattice with pure numpy per batch, so cost is
+    linear in points with no shuffle at all."""
+    from pyspark.sql.types import IntegerType, StructField
+
+    from ..mapunits import to_map_unit
+
+    spark = cells.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {k: (res, np.asarray(g, dtype=np.int16))
+         for k, (res, g) in hgt_grids.items()})
+    min_lat32 = int(to_map_unit(float(min_lat_deg))) * 256
+    min_lon32 = int(to_map_unit(float(min_lon_deg))) * 256
+
+    # copy, NOT .add(): StructType.add mutates in place and cells.schema
+    # is the DataFrame's cached schema object
+    from pyspark.sql.types import StructType
+    out_schema = StructType(
+        list(cells.schema.fields) + [StructField("height", IntegerType())])
+
+    def kernel(batches):
+        grids = bc.value
+        for pdf in batches:
+            lat32 = pdf["lat32"].to_numpy(np.int64)
+            lon32 = pdf["lon32"].to_numpy(np.int64)
+            rel_lat = (lat32 - min_lat32) * FACTOR
+            rel_lon = (lon32 - min_lon32) * FACTOR
+            row = np.trunc(rel_lat).astype(np.int64)
+            col = np.trunc(rel_lon).astype(np.int64)
+            h = np.full(len(pdf), outside_height, dtype=np.int32)
+            # 180-degree overflow guard (HGTConverter.getHeights)
+            guard = (pdf["lon_off"].to_numpy(np.int64) > 0) & (lon32 <= 0)
+            ok = ~guard & (rel_lat >= 0) & (rel_lon >= 0)
+            for (cy, cx), (res, grid) in grids.items():
+                sel = ok & (row == cy - min_lat_deg) & (col == cx - min_lon_deg)
+                if not sel.any():
+                    continue
+                if res <= 0:
+                    h[sel] = 0  # ocean placeholder file
+                    continue
+                g = grid.reshape(res + 1, res + 1)
+                scale = res * FACTOR
+                y1 = (lat32[sel] - min_lat32) * scale - (cy - min_lat_deg) * res
+                x1 = (lon32[sel] - min_lon32) * scale - (cx - min_lon_deg) * res
+                x_left = np.clip(x1.astype(np.int64), 0, res - 1)
+                y_bottom = np.clip(y1.astype(np.int64), 0, res - 1)
+                qx = x1 - x_left
+                qy = y1 - y_bottom
+                hlb = g[y_bottom, x_left]
+                hrb = g[y_bottom, x_left + 1]
+                hlt = g[y_bottom + 1, x_left]
+                hrt = g[y_bottom + 1, x_left + 1]
+                h[sel] = interpolated_height_vec(qx, qy, hlt, hrt, hrb, hlb)
+            pdf = pdf.copy()
+            pdf["height"] = h
+            yield pdf
+
+    return cells.mapInPandas(kernel, out_schema)
+
+
+def build_dem(spark: SparkSession,
+              hgt_grids: Dict[Tuple[int, int], Tuple[int, np.ndarray]],
+              min_lat_mu: int, min_lon_mu: int,
+              max_lat_mu: int, max_lon_mu: int,
+              point_dists: List[int],
+              outside_height: int = _UNDEF,
+              highest_res: Optional[int] = None):
+    """The --dem stage end to end: plan the zoom levels for the tile
+    bbox, carve each section into its tile grid, sample the HGT
+    lattice, encode every tile into the Garmin bit stream, and derive
+    the per-section record descriptors.
+
+    Returns (tiles DataFrame from :func:`encode_dem_tiles` keyed by
+    (zoom, tile_row, tile_col), sections DataFrame from
+    :func:`section_record_desc` keyed by zoom, tre_bounds).
+
+    Not ported: --dem-poly bounding polygons (bbox only here) and the
+    bicubic path's cross-file neighbour borrowing — near HGT file
+    edges this build falls back to bilinear where the reference may
+    still manage a 16-point kernel via the adjacent reader
+    (HGTConverter.fillArray)."""
+    from ..mapunits import to_degrees
+
+    if highest_res is None:
+        highest_res = max((res for res, _ in hgt_grids.values()), default=1200)
+    # reader-grid origin: the tile bbox widened by EXTRA and floored to
+    # integer degrees (HGTConverter's constructor)
+    min_lat_deg = max(int(math.floor(to_degrees(min_lat_mu) - EXTRA)), -90)
+    min_lon_deg = max(int(math.floor(to_degrees(min_lon_mu) - EXTRA)), -180)
+    tre, levels = dem_level_plan(min_lat_mu, min_lon_mu,
+                                 max_lat_mu, max_lon_mu,
+                                 point_dists, highest_res)
+    secs = spark.createDataFrame(
+        pd.DataFrame([{
+            "zoom": lv.zoom, "area_top": lv.top, "area_left": lv.left,
+            "area_height": lv.area_height, "area_width": lv.area_width,
+            "point_dist": lv.point_dist,
+        } for lv in levels]),
+        schema="zoom long, area_top long, area_left long, "
+               "area_height long, area_width long, point_dist long",
+    )
+    grid = section_tile_grid(secs)
+    w = F.col("tile_width").cast("long")
+    cells = grid.select(
+        "zoom", F.col("tile_row").cast("long").alias("tile_row"),
+        F.col("tile_col").cast("long").alias("tile_col"),
+        "tile_width", "tile_height", "point_dist", "lat_off", "lon_off",
+        F.explode(F.sequence(
+            F.lit(0), (w * F.col("tile_height").cast("long")) - 1)).alias("idx"),
+    ).select(
+        "zoom", "tile_row", "tile_col",
+        F.col("tile_width").cast("int").alias("tile_width"),
+        F.col("tile_height").cast("int").alias("tile_height"),
+        F.col("idx").cast("int").alias("idx"),
+        "lon_off",
+        (F.col("lat_off") - (F.col("idx") / w).cast("long")
+         * F.col("point_dist")).alias("lat32"),
+        (F.col("lon_off") + (F.col("idx") % w)
+         * F.col("point_dist")).alias("lon32"),
+    )
+    sampled = sample_hgt_lattice(cells, hgt_grids, min_lat_deg,
+                                 min_lon_deg, outside_height)
+    tiles = encode_dem_tiles(
+        sampled.select("zoom", "tile_row", "tile_col", "tile_width",
+                       "tile_height", "idx", "height"),
+        ["zoom", "tile_row", "tile_col"])
+    sections = section_record_desc(tiles, ["zoom"])
+    return tiles, sections, tre
+
+
+def load_hgt_grids(dem_dirs: List[str],
+                   min_lat_deg: int, min_lon_deg: int,
+                   max_lat_deg: int, max_lon_deg: int
+                   ) -> Dict[Tuple[int, int], Tuple[int, np.ndarray]]:
+    """Driver-side HGT loader for the --dem stage: for every integer
+    degree cell of the (already EXTRA-widened) area, look for
+    {N|S}yy{E|W}xxx.hgt in the given directories (first hit wins, the
+    reference's comma-separated path search) and return south-first
+    grids keyed by SW corner.  A map tile spans tens of cells, so this
+    stays a small broadcast dimension."""
+    import os
+
+    from ..sources.hgt import parse_hgt
+
+    out: Dict[Tuple[int, int], Tuple[int, np.ndarray]] = {}
+    for lat in range(min_lat_deg, max_lat_deg):
+        for lon in range(min_lon_deg, max_lon_deg):
+            name = "%s%02d%s%03d.hgt" % (
+                "N" if lat >= 0 else "S", abs(lat),
+                "E" if lon >= 0 else "W", abs(lon))
+            for d in dem_dirs:
+                p = os.path.join(d, name)
+                if not os.path.exists(p):
+                    continue
+                with open(p, "rb") as f:
+                    res, grid = parse_hgt(f.read())
+                if res < 0:
+                    continue
+                # parse_hgt rows start at the north edge; the sampler
+                # indexes south-first
+                out[(lat, lon)] = (res, np.flipud(grid).copy().ravel())
+                break
+    return out

@@ -209,6 +209,8 @@ class FileBuild:
     args: FileArgs
     features: DataFrame
     tiles: TileBuildResult
+    dem_tiles: DataFrame | None = None
+    dem_sections: DataFrame | None = None
 
 
 @dataclass
@@ -216,6 +218,37 @@ class RunResult:
     builds: list[FileBuild]
     tdb: DataFrame | None = None
     gmapsupp: DataFrame | None = None
+
+
+def build_dem_for_features(spark: SparkSession, feats: DataFrame,
+                           dem_dirs: list[str], dem_dists: list[int]):
+    """--dem / --dem-dists: derive the feature bbox, load the HGT
+    coverage for the EXTRA-widened area, and run the elevation build
+    (plan levels, carve tile grids, sample, encode) — the DEMFile.calc
+    flow with the bbox taken from the converted features."""
+    import math
+
+    from ..mapunits import to_degrees
+    from ..operators.dem import EXTRA, build_dem, load_hgt_grids
+
+    bounds = feats.select(
+        F.min(F.expr("array_min(lats)")).alias("min_lat"),
+        F.max(F.expr("array_max(lats)")).alias("max_lat"),
+        F.min(F.expr("array_min(lons)")).alias("min_lon"),
+        F.max(F.expr("array_max(lons)")).alias("max_lon"),
+    ).collect()[0]
+    if bounds.min_lat is None:
+        return None, None
+    min_lat_deg = max(int(math.floor(to_degrees(bounds.min_lat) - EXTRA)), -90)
+    min_lon_deg = max(int(math.floor(to_degrees(bounds.min_lon) - EXTRA)), -180)
+    max_lat_deg = min(int(math.ceil(to_degrees(bounds.max_lat) + EXTRA)), 90)
+    max_lon_deg = min(int(math.ceil(to_degrees(bounds.max_lon) + EXTRA)), 180)
+    grids = load_hgt_grids(dem_dirs, min_lat_deg, min_lon_deg,
+                           max_lat_deg, max_lon_deg)
+    tiles, sections, _tre = build_dem(
+        spark, grids, int(bounds.min_lat), int(bounds.min_lon),
+        int(bounds.max_lat), int(bounds.max_lon), dem_dists)
+    return tiles, sections
 
 
 def run_from_args(spark: SparkSession, argv: list[str]) -> RunResult:
@@ -271,7 +304,13 @@ def run_from_args(spark: SparkSession, argv: list[str]) -> RunResult:
         if fa.get("levels"):
             levels = tuple(parse_level_spec(fa.get("levels")))
         tiles = build_tiles_from_features(spark, feats, levels=levels)
-        builds.append(FileBuild(fa, feats, tiles))
+        fb = FileBuild(fa, feats, tiles)
+        if fa.get("dem"):
+            dists = [int(x) for x in
+                     (fa.get("dem-dists") or "3312").split(",") if x.strip()]
+            fb.dem_tiles, fb.dem_sections = build_dem_for_features(
+                spark, feats, fa.get("dem").split(","), dists)
+        builds.append(fb)
 
     result = RunResult(builds)
     opts = parsed.options

@@ -8,6 +8,7 @@ the decoder to the encoder across terrain regimes.
 
 from __future__ import annotations
 
+import math
 import random
 
 import pytest
@@ -217,6 +218,162 @@ def test_section_record_desc_end_to_end(spark):
         (1 if has_extra else 0)
     assert d.min_height == min_base
     assert d.max_height == max(t[5] for t in valid)
+
+
+FACTOR = 45.0 / (1 << 29)
+
+
+def _ref_round(x):
+    return math.floor(x + 0.5)
+
+
+def _ref_interpolated_height(qx, qy, hlt, hrt, hrb, hlb):
+    """Literal scalar port of HGTConverter.interpolatedHeight for the
+    oracle side of the end-to-end test."""
+    U = UNDEF
+    if hlb == U:
+        if hrb == U or hlt == U or hrt == U:
+            if hrt != U and hlt != U and qy > 0.5:
+                return _ref_round((1.0 - qx) * hlt + qx * hrt)
+            if hrt != U and hrb != U and qx > 0.5:
+                return _ref_round((1.0 - qy) * hrb + qy * hrt)
+            return (hlb if qy < 0.5 else hlt) if qx < 0.5 else \
+                (hrb if qy < 0.5 else hrt)
+        if qx + qy < 0.4:
+            return U
+        hlb = hlt + hrb - hrt
+    elif hrt == U:
+        if hlb == U or hrb == U or hlt == U:
+            if hlb != U and hrb != U and qy < 0.5:
+                return _ref_round((1.0 - qx) * hlb + qx * hrb)
+            if hlb != U and hlt != U and qx < 0.5:
+                return _ref_round((1.0 - qy) * hlb + qy * hlt)
+            return (hlb if qy < 0.5 else hlt) if qx < 0.5 else \
+                (hrb if qy < 0.5 else hrt)
+        if qx + qy > 1.6:
+            return U
+        hrt = hlt + hrb - hlb
+    elif hrb == U:
+        if hlb == U or hlt == U or hrt == U:
+            if hlt != U and hrt != U and qy > 0.5:
+                return _ref_round((1.0 - qx) * hlt + qx * hrt)
+            if hlt != U and hlb != U and qx < 0.5:
+                return _ref_round((1.0 - qy) * hlb + qy * hlt)
+            return (hlb if qy < 0.5 else hlt) if qx < 0.5 else \
+                (hrb if qy < 0.5 else hrt)
+        if qy < qx - 0.4:
+            return U
+        hrb = hlb + hrt - hlt
+    elif hlt == U:
+        if hlb == U or hrb == U or hrt == U:
+            if hrb != U and hlb != U and qy < 0.5:
+                return _ref_round((1.0 - qx) * hlb + qx * hrb)
+            if hrb != U and hrt != U and qx > 0.5:
+                return _ref_round((1.0 - qy) * hrb + qy * hrt)
+            return (hlb if qy < 0.5 else hlt) if qx < 0.5 else \
+                (hrb if qy < 0.5 else hrt)
+        if qy > qx + 0.6:
+            return U
+        hlt = hlb + hrt - hrb
+    hxt = (1.0 - qx) * hlt + qx * hrt
+    hxb = (1.0 - qx) * hlb + qx * hrb
+    return _ref_round((1.0 - qy) * hxb + qy * hxt)
+
+
+def _ref_get_elevation(lat32, lon32, grids, min_lat_deg, min_lon_deg,
+                       min_lat32, min_lon32, outside):
+    """Literal scalar port of HGTConverter.getElevation (bilinear)."""
+    row = int((lat32 - min_lat32) * FACTOR)
+    col = int((lon32 - min_lon32) * FACTOR)
+    key = (min_lat_deg + row, min_lon_deg + col)
+    if key not in grids:
+        return outside
+    res, grid = grids[key]
+    if res <= 0:
+        return 0
+    g = grid.reshape(res + 1, res + 1)
+    scale = res * FACTOR
+    y1 = (lat32 - min_lat32) * scale - row * res
+    x1 = (lon32 - min_lon32) * scale - col * res
+    x_left = int(x1)
+    y_bottom = int(y1)
+    qx = x1 - x_left
+    qy = y1 - y_bottom
+    return _ref_interpolated_height(
+        qx, qy, int(g[y_bottom + 1, x_left]), int(g[y_bottom + 1, x_left + 1]),
+        int(g[y_bottom, x_left + 1]), int(g[y_bottom, x_left]))
+
+
+def test_build_dem_end_to_end(spark):
+    """--dem end to end on synthetic HGT coverage: decoded tile heights
+    must equal the independent element-at-a-time reference port for
+    every zoom level, tile and lattice point."""
+    import numpy as np
+
+    from mkgmap_spark.mapunits import to_map_unit
+    from mkgmap_spark.operators.dem import EXTRA, build_dem
+
+    rng = random.Random(31)
+    res = 64
+    grids = {}
+    for cy in (9, 10):
+        for cx in (19, 20):
+            if (cy, cx) == (10, 20):
+                continue  # hole in coverage: ocean / missing file
+            n = (res + 1) * (res + 1)
+            g = np.zeros(n, dtype=np.int16)
+            for i in range(n):
+                y, x = divmod(i, res + 1)
+                v = 100 * (cy - 9) + 50 * (cx - 19) + \
+                    ((x * 13 + y * 7) % 37) + (x // 16) * 5
+                if (x * 31 + y * 17 + cy + cx) % 41 == 0:
+                    v = UNDEF  # scattered voids exercise the corner rules
+                g[i] = v
+            grids[(cy, cx)] = (res, g)
+
+    min_lat_mu = to_map_unit(9.4)
+    max_lat_mu = to_map_unit(10.3)
+    min_lon_mu = to_map_unit(19.3)
+    max_lon_mu = to_map_unit(20.4)
+    dists = [3312, 6624]
+
+    tiles_df, sections_df, tre = build_dem(
+        spark, grids, min_lat_mu, min_lon_mu, max_lat_mu, max_lon_mu, dists)
+    tiles = tiles_df.collect()
+    sections = {r.zoom: r for r in sections_df.collect()}
+    assert len(sections) == 2
+    assert len(tiles) > 4
+
+    from mkgmap_spark.functions.dem_codec import decode_tile
+    from mkgmap_spark.operators.dem import dem_level_plan
+
+    min_lat_deg = int(math.floor(9.4 - EXTRA))
+    min_lon_deg = int(math.floor(19.3 - EXTRA))
+    min_lat32 = int(to_map_unit(float(min_lat_deg))) * 256
+    min_lon32 = int(to_map_unit(float(min_lon_deg))) * 256
+    _, levels = dem_level_plan(min_lat_mu, min_lon_mu, max_lat_mu,
+                               max_lon_mu, dists, highest_res=res)
+    by_zoom = {lv.zoom: lv for lv in levels}
+
+    checked = 0
+    for t in tiles:
+        lv = by_zoom[t.zoom]
+        decoded = decode_tile(bytes(t.stream), t.base, t.max_delta,
+                              t.enc_type, t.tile_width, t.tile_height)
+        lat_off = lv.top - t.tile_row * 64 * lv.point_dist
+        lon_off = lv.left + t.tile_col * 64 * lv.point_dist
+        for idx in range(0, t.tile_width * t.tile_height,
+                         max(1, (t.tile_width * t.tile_height) // 97)):
+            y, x = divmod(idx, t.tile_width)
+            lat32 = lat_off - y * lv.point_dist
+            lon32 = lon_off + x * lv.point_dist
+            exp = _ref_get_elevation(lat32, lon32, grids, min_lat_deg,
+                                     min_lon_deg, min_lat32, min_lon32,
+                                     UNDEF)
+            assert decoded[idx] == exp, (t.zoom, t.tile_row, t.tile_col,
+                                         idx, decoded[idx], exp)
+            checked += 1
+    assert checked > 500
 
 
 def test_roundtrip_spark_operator(spark):

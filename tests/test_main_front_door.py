@@ -279,3 +279,60 @@ def test_relation_rules_push_to_members(spark, tmp_path):
     # the non-member way only matches highway=path
     assert out[102][0] == 24
     assert "cycleroute" not in out[102][1]
+
+
+def test_run_with_dem(spark, tmp_path):
+    """--dem/--dem-dists: the front door builds encoded elevation
+    sections next to the map tiles (DEMFile.calc flow)."""
+    import numpy as np
+
+    from mkgmap_spark.functions.dem_codec import decode_tile
+    from mkgmap_spark.sources.hgt import write_hgt
+
+    rng = random.Random(13)
+    d = tmp_path / "demmaps"
+    d.mkdir()
+    els = []
+    for i in range(1, 60):
+        els.append({"id": i, "kind": "node",
+                    "tags": {"amenity": "pub"} if i % 3 == 0 else {},
+                    "lat_deg": rng.uniform(9.4, 9.6),
+                    "lon_deg": rng.uniform(19.3, 19.6)})
+    for w in range(1000, 1012):
+        els.append({"id": w, "kind": "way", "tags": {"highway": "primary"},
+                    "refs": rng.sample(range(1, 60), 4)})
+    write_osm_xml_fixture(str(d / "dem1.osm"), els)
+
+    hgt_dir = tmp_path / "hgt"
+    hgt_dir.mkdir()
+    res = 64
+    # north-first rows on disk, as real .hgt files are
+    grid = np.zeros((res + 1, res + 1), dtype=np.int16)
+    for y in range(res + 1):
+        for x in range(res + 1):
+            grid[y, x] = 100 + ((x * 13 + y * 7) % 37)
+    write_hgt(str(hgt_dir / "N09E019.hgt"), grid)
+
+    res_run = run_from_args(
+        spark,
+        [f"--style-file={TESTSTYLES}", "--style=main",
+         f"--dem={hgt_dir}", "--dem-dists=26496,52992",
+         str(d / "dem1.osm")],
+    )
+    b = res_run.builds[0]
+    assert b.dem_tiles is not None and b.dem_sections is not None
+    secs = {r.zoom: r for r in b.dem_sections.collect()}
+    assert set(secs) == {0, 1}
+    tiles = b.dem_tiles.collect()
+    assert len(tiles) >= 2
+    # every tile with data decodes to in-range heights around 100..137
+    saw_data = False
+    for t in tiles:
+        if not t.has_data:
+            continue
+        saw_data = True
+        decoded = decode_tile(bytes(t.stream), t.base, t.max_delta,
+                              t.enc_type, t.tile_width, t.tile_height)
+        vals = [v for v in decoded if v != -32768]
+        assert vals and min(vals) >= 99 and max(vals) <= 138, (t.zoom,)
+    assert saw_data
