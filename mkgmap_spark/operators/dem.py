@@ -399,6 +399,73 @@ def interpolated_height_vec(qx: np.ndarray, qy: np.ndarray,
     return out.astype(np.int32)
 
 
+def _cubic_vec(p0, p1, p2, p3, t):
+    """Catmull-Rom spline segment (HGTConverter.cubicInterpolation)."""
+    return p1 + 0.5 * t * (p2 - p0 + t * (
+        2.0 * p0 - 5.0 * p1 + 4.0 * p2 - p3 + t * (
+            3.0 * (p1 - p2) + p3 - p0)))
+
+
+def _extended_grid(key: Tuple[int, int],
+                   grids: Dict[Tuple[int, int], Tuple[int, np.ndarray]]
+                   ) -> np.ndarray:
+    """Stitch a (res+3)^2 extension of one reader's grid for the
+    16-point bicubic window: row/col -1 come from the adjacent
+    reader's row res-1 / col res-1, row/col res+1 from its row/col 1
+    (the shared edge is already duplicated inside each file), corners
+    from the diagonal readers — exactly the borrow pattern of
+    HGTConverter.fillArray, with UNDEF where the neighbour is missing
+    or has a different resolution (prepReader's res check), which
+    forces the same bilinear fallback."""
+    cy, cx = key
+    res, grid = grids[key]
+    g = np.asarray(grid, dtype=np.int32).reshape(res + 1, res + 1)
+    ext = np.full((res + 3, res + 3), _UNDEF, dtype=np.int32)
+    ext[1:res + 2, 1:res + 2] = g
+
+    def side(dy, dx):
+        n = grids.get((cy + dy, cx + dx))
+        if n is None or n[0] != res:
+            return None
+        return np.asarray(n[1], dtype=np.int32).reshape(res + 1, res + 1)
+
+    below, above = side(-1, 0), side(1, 0)
+    left, right = side(0, -1), side(0, 1)
+    if below is not None:
+        ext[0, 1:res + 2] = below[res - 1, :]
+    if above is not None:
+        ext[res + 2, 1:res + 2] = above[1, :]
+    if left is not None:
+        ext[1:res + 2, 0] = left[:, res - 1]
+    if right is not None:
+        ext[1:res + 2, res + 2] = right[:, 1]
+    for dy, dx, ey, ex in ((-1, -1, 0, 0), (-1, 1, 0, res + 2),
+                           (1, -1, res + 2, 0), (1, 1, res + 2, res + 2)):
+        d = side(dy, dx)
+        if d is not None:
+            ext[ey, ex] = d[res - 1 if dy < 0 else 1,
+                            res - 1 if dx < 0 else 1]
+    return ext
+
+
+def bicubic_height_vec(ext: np.ndarray, res: int,
+                       x_left: np.ndarray, y_bottom: np.ndarray,
+                       qx: np.ndarray, qy: np.ndarray) -> np.ndarray:
+    """16-point Catmull-Rom sample over the extended grid; returns
+    UNDEF where any window value is missing (HGTConverter.fillArray
+    returning false -> bilinear fallback)."""
+    d = np.arange(4)
+    win = ext[(y_bottom[:, None, None] + d[None, :, None]),
+              (x_left[:, None, None] + d[None, None, :])].astype(np.float64)
+    valid = ~(win == _UNDEF).any(axis=(1, 2))
+    # cubic along y (per x column), then along x — eleArray[x][y] order
+    cols = [_cubic_vec(win[:, 0, x], win[:, 1, x], win[:, 2, x],
+                       win[:, 3, x], qy) for x in range(4)]
+    val = _cubic_vec(cols[0], cols[1], cols[2], cols[3], qx)
+    out = np.where(valid, np.floor(val + 0.5), float(_UNDEF))
+    return out.astype(np.int32)
+
+
 def sample_hgt_lattice(cells: DataFrame,
                        hgt_grids: Dict[Tuple[int, int], Tuple[int, np.ndarray]],
                        min_lat_deg: int, min_lon_deg: int,
@@ -437,8 +504,11 @@ def sample_hgt_lattice(cells: DataFrame,
     out_schema = StructType(
         list(cells.schema.fields) + [StructField("height", IntegerType())])
 
+    has_complex = "use_complex" in cells.columns
+
     def kernel(batches):
         grids = bc.value
+        ext_cache: Dict[Tuple[int, int], np.ndarray] = {}
         for pdf in batches:
             lat32 = pdf["lat32"].to_numpy(np.int64)
             lon32 = pdf["lon32"].to_numpy(np.int64)
@@ -450,6 +520,8 @@ def sample_hgt_lattice(cells: DataFrame,
             # 180-degree overflow guard (HGTConverter.getHeights)
             guard = (pdf["lon_off"].to_numpy(np.int64) > 0) & (lon32 <= 0)
             ok = ~guard & (rel_lat >= 0) & (rel_lon >= 0)
+            want_complex = (pdf["use_complex"].to_numpy(bool)
+                            if has_complex else np.zeros(len(pdf), bool))
             for (cy, cx), (res, grid) in grids.items():
                 sel = ok & (row == cy - min_lat_deg) & (col == cx - min_lon_deg)
                 if not sel.any():
@@ -465,11 +537,23 @@ def sample_hgt_lattice(cells: DataFrame,
                 y_bottom = np.clip(y1.astype(np.int64), 0, res - 1)
                 qx = x1 - x_left
                 qy = y1 - y_bottom
-                hlb = g[y_bottom, x_left]
-                hrb = g[y_bottom, x_left + 1]
-                hlt = g[y_bottom + 1, x_left]
-                hrt = g[y_bottom + 1, x_left + 1]
-                h[sel] = interpolated_height_vec(qx, qy, hlt, hrt, hrb, hlb)
+                hsel = np.full(sel.sum(), _UNDEF, dtype=np.int32)
+                cx_sel = want_complex[sel]
+                if cx_sel.any():
+                    if (cy, cx) not in ext_cache:
+                        ext_cache[(cy, cx)] = _extended_grid((cy, cx), grids)
+                    hsel[cx_sel] = bicubic_height_vec(
+                        ext_cache[(cy, cx)], res, x_left[cx_sel],
+                        y_bottom[cx_sel], qx[cx_sel], qy[cx_sel])
+                need = hsel == _UNDEF  # bilinear path + bicubic fallback
+                if need.any():
+                    hlb = g[y_bottom[need], x_left[need]]
+                    hrb = g[y_bottom[need], x_left[need] + 1]
+                    hlt = g[y_bottom[need] + 1, x_left[need]]
+                    hrt = g[y_bottom[need] + 1, x_left[need] + 1]
+                    hsel[need] = interpolated_height_vec(
+                        qx[need], qy[need], hlt, hrt, hrb, hlb)
+                h[sel] = hsel
             pdf = pdf.copy()
             pdf["height"] = h
             yield pdf
@@ -483,7 +567,8 @@ def build_dem(spark: SparkSession,
               max_lat_mu: int, max_lon_mu: int,
               point_dists: List[int],
               outside_height: int = _UNDEF,
-              highest_res: Optional[int] = None):
+              highest_res: Optional[int] = None,
+              interpolation: str = "auto"):
     """The --dem stage end to end: plan the zoom levels for the tile
     bbox, carve each section into its tile grid, sample the HGT
     lattice, encode every tile into the Garmin bit stream, and derive
@@ -493,11 +578,13 @@ def build_dem(spark: SparkSession,
     (zoom, tile_row, tile_col), sections DataFrame from
     :func:`section_record_desc` keyed by zoom, tre_bounds).
 
-    Not ported: --dem-poly bounding polygons (bbox only here) and the
-    bicubic path's cross-file neighbour borrowing — near HGT file
-    edges this build falls back to bilinear where the reference may
-    still manage a 16-point kernel via the adjacent reader
-    (HGTConverter.fillArray)."""
+    ``interpolation``: "bilinear", "bicubic", or "auto"
+    (HGTConverter.startNewLevel picks bicubic when the lattice is
+    finer than a third of the HGT resolution); the bicubic window
+    borrows across file edges from same-resolution neighbours exactly
+    like HGTConverter.fillArray/prepReader, degrading to the bilinear
+    void ladder otherwise.  Not ported: --dem-poly bounding polygons
+    (bbox only here)."""
     from ..mapunits import to_degrees
 
     if highest_res is None:
@@ -509,14 +596,27 @@ def build_dem(spark: SparkSession,
     tre, levels = dem_level_plan(min_lat_mu, min_lon_mu,
                                  max_lat_mu, max_lon_mu,
                                  point_dists, highest_res)
+    def use_complex(distance: int) -> bool:
+        # HGTConverter.startNewLevel: auto picks bicubic when the DEM
+        # lattice is finer than 1/3 of the HGT resolution
+        if interpolation == "bilinear":
+            return False
+        if interpolation == "bicubic":
+            return True
+        if highest_res <= 0:
+            return False
+        return (1 << 29) // ((45 // 3) * highest_res) + 20 > distance
+
     secs = spark.createDataFrame(
         pd.DataFrame([{
             "zoom": lv.zoom, "area_top": lv.top, "area_left": lv.left,
             "area_height": lv.area_height, "area_width": lv.area_width,
             "point_dist": lv.point_dist,
+            "use_complex": use_complex(lv.point_dist),
         } for lv in levels]),
         schema="zoom long, area_top long, area_left long, "
-               "area_height long, area_width long, point_dist long",
+               "area_height long, area_width long, point_dist long, "
+               "use_complex boolean",
     )
     grid = section_tile_grid(secs)
     w = F.col("tile_width").cast("long")
@@ -524,6 +624,7 @@ def build_dem(spark: SparkSession,
         "zoom", F.col("tile_row").cast("long").alias("tile_row"),
         F.col("tile_col").cast("long").alias("tile_col"),
         "tile_width", "tile_height", "point_dist", "lat_off", "lon_off",
+        "use_complex",
         F.explode(F.sequence(
             F.lit(0), (w * F.col("tile_height").cast("long")) - 1)).alias("idx"),
     ).select(
@@ -531,7 +632,7 @@ def build_dem(spark: SparkSession,
         F.col("tile_width").cast("int").alias("tile_width"),
         F.col("tile_height").cast("int").alias("tile_height"),
         F.col("idx").cast("int").alias("idx"),
-        "lon_off",
+        "lon_off", "use_complex",
         (F.col("lat_off") - (F.col("idx") / w).cast("long")
          * F.col("point_dist")).alias("lat32"),
         (F.col("lon_off") + (F.col("idx") % w)

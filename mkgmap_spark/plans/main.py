@@ -221,7 +221,8 @@ class RunResult:
 
 
 def build_dem_for_features(spark: SparkSession, feats: DataFrame,
-                           dem_dirs: list[str], dem_dists: list[int]):
+                           dem_dirs: list[str], dem_dists: list[int],
+                           interpolation: str = "auto"):
     """--dem / --dem-dists: derive the feature bbox, load the HGT
     coverage for the EXTRA-widened area, and run the elevation build
     (plan levels, carve tile grids, sample, encode) — the DEMFile.calc
@@ -247,7 +248,8 @@ def build_dem_for_features(spark: SparkSession, feats: DataFrame,
                            max_lat_deg, max_lon_deg)
     tiles, sections, _tre = build_dem(
         spark, grids, int(bounds.min_lat), int(bounds.min_lon),
-        int(bounds.max_lat), int(bounds.max_lon), dem_dists)
+        int(bounds.max_lat), int(bounds.max_lon), dem_dists,
+        interpolation=interpolation)
     return tiles, sections
 
 
@@ -309,7 +311,8 @@ def run_from_args(spark: SparkSession, argv: list[str]) -> RunResult:
             dists = [int(x) for x in
                      (fa.get("dem-dists") or "3312").split(",") if x.strip()]
             fb.dem_tiles, fb.dem_sections = build_dem_for_features(
-                spark, feats, fa.get("dem").split(","), dists)
+                spark, feats, fa.get("dem").split(","), dists,
+                interpolation=fa.get("dem-interpolation", "auto"))
         builds.append(fb)
 
     result = RunResult(builds)

@@ -338,7 +338,8 @@ def test_build_dem_end_to_end(spark):
     dists = [3312, 6624]
 
     tiles_df, sections_df, tre = build_dem(
-        spark, grids, min_lat_mu, min_lon_mu, max_lat_mu, max_lon_mu, dists)
+        spark, grids, min_lat_mu, min_lon_mu, max_lat_mu, max_lon_mu, dists,
+        interpolation="bilinear")
     tiles = tiles_df.collect()
     sections = {r.zoom: r for r in sections_df.collect()}
     assert len(sections) == 2
@@ -401,3 +402,195 @@ def test_roundtrip_spark_operator(spark):
     for r in out:
         assert r.height == expect[r.tile_id][r.idx], (r.tile_id, r.idx)
         assert (r.base, r.max_delta, r.enc_type) == headers[r.tile_id]
+
+
+def _ref_cubic(p, t):
+    return p[1] + 0.5 * t * (p[2] - p[0] + t * (
+        2.0 * p[0] - 5.0 * p[1] + 4.0 * p[2] - p[3] + t * (
+            3.0 * (p[1] - p[2]) + p[3] - p[0])))
+
+
+def _ref_fill_array(grids, cy, cx, res, x_left, y_bottom):
+    """Literal port of HGTConverter.fillArray/prepReader: gather the
+    16-point window, borrowing edge rows/columns from same-resolution
+    neighbour readers; None when a value is missing."""
+    def rdr(dy, dx):
+        n = grids.get((cy + dy, cx + dx))
+        if n is None or n[0] != res:
+            return None
+        return n[1].reshape(res + 1, res + 1)
+
+    cur = grids[(cy, cx)][1].reshape(res + 1, res + 1)
+    ele = [[None] * 4 for _ in range(4)]  # ele[x][y]
+    min_x = min_y = 0
+    max_x = max_y = 3
+    if x_left == 0:
+        min_x = 1
+    elif x_left == res - 1:
+        max_x = 2
+    if y_bottom == 0:
+        min_y = 1
+    elif y_bottom == res - 1:
+        max_y = 2
+    for x in range(min_x, max_x + 1):
+        for y in range(min_y, max_y + 1):
+            h = int(cur[y_bottom + y - 1, x_left + x - 1])
+            if h == UNDEF:
+                return None
+            ele[x][y] = h
+    if (min_x, min_y, max_x, max_y) == (0, 0, 3, 3):
+        return ele
+
+    def borrow(dy, dx, writes):
+        g = rdr(dy, dx)
+        if g is None:
+            return False
+        for (ex, ey, gy, gx) in writes:
+            h = int(g[gy, gx])
+            if h == UNDEF:
+                return False
+            ele[ex][ey] = h
+        return True
+
+    if 0 < x_left < res - 1:
+        if y_bottom == 0:
+            if not borrow(-1, 0, [(x, 0, res - 1, x_left + x - 1)
+                                  for x in range(4)]):
+                return None
+        elif y_bottom == res - 1:
+            if not borrow(1, 0, [(x, 3, 1, x_left + x - 1)
+                                 for x in range(4)]):
+                return None
+    if 0 < y_bottom < res - 1:
+        if x_left == 0:
+            if not borrow(0, -1, [(0, y, y_bottom + y - 1, res - 1)
+                                  for y in range(4)]):
+                return None
+        elif x_left == res - 1:
+            if not borrow(0, 1, [(3, y, y_bottom + y - 1, 1)
+                                 for y in range(4)]):
+                return None
+    if x_left == 0 and y_bottom == 0:
+        if not (borrow(0, -1, [(0, y, y_bottom + y - 1, res - 1)
+                               for y in range(1, 4)])
+                and borrow(-1, 0, [(x, 0, res - 1, x_left + x - 1)
+                                   for x in range(1, 4)])
+                and borrow(-1, -1, [(0, 0, res - 1, res - 1)])):
+            return None
+    elif x_left == 0 and y_bottom == res - 1:
+        if not (borrow(0, -1, [(0, y, y_bottom + y - 1, res - 1)
+                               for y in range(0, 3)])
+                and borrow(1, 0, [(x, 3, 1, x_left + x - 1)
+                                  for x in range(1, 4)])
+                and borrow(1, -1, [(0, 3, 1, res - 1)])):
+            return None
+    elif x_left == res - 1 and y_bottom == 0:
+        if not (borrow(0, 1, [(3, y, y_bottom + y - 1, 1)
+                              for y in range(1, 4)])
+                and borrow(-1, 0, [(x, 0, res - 1, x_left + x - 1)
+                                   for x in range(0, 3)])
+                and borrow(-1, 1, [(3, 0, res - 1, 1)])):
+            return None
+    elif x_left == res - 1 and y_bottom == res - 1:
+        if not (borrow(0, 1, [(3, y, y_bottom + y - 1, 1)
+                              for y in range(0, 3)])
+                and borrow(1, 0, [(x, 3, 1, x_left + x - 1)
+                                  for x in range(0, 3)])
+                and borrow(1, 1, [(3, 3, 1, 1)])):
+            return None
+    if any(v is None for col in ele for v in col):
+        return None
+    return ele
+
+
+def _ref_get_elevation_bicubic(lat32, lon32, grids, min_lat_deg, min_lon_deg,
+                               min_lat32, min_lon32, outside):
+    """Literal port of getElevation with useComplexInterpolation on."""
+    row = int((lat32 - min_lat32) * FACTOR)
+    col = int((lon32 - min_lon32) * FACTOR)
+    key = (min_lat_deg + row, min_lon_deg + col)
+    if key not in grids:
+        return outside
+    res, grid = grids[key]
+    if res <= 0:
+        return 0
+    scale = res * FACTOR
+    y1 = (lat32 - min_lat32) * scale - row * res
+    x1 = (lon32 - min_lon32) * scale - col * res
+    x_left = int(x1)
+    y_bottom = int(y1)
+    qx = x1 - x_left
+    qy = y1 - y_bottom
+    ele = _ref_fill_array(grids, key[0], key[1], res, x_left, y_bottom)
+    if ele is not None:
+        arr = [_ref_cubic([float(v) for v in ele[x]], qy) for x in range(4)]
+        return _ref_round(_ref_cubic(arr, qx))
+    g = grid.reshape(res + 1, res + 1)
+    return _ref_interpolated_height(
+        qx, qy, int(g[y_bottom + 1, x_left]), int(g[y_bottom + 1, x_left + 1]),
+        int(g[y_bottom, x_left + 1]), int(g[y_bottom, x_left]))
+
+
+def test_build_dem_bicubic_end_to_end(spark):
+    """Auto interpolation selects the 16-point Catmull-Rom path at fine
+    zooms; every sampled point must match the literal fillArray +
+    bicubicInterpolation port, including cross-file window borrowing
+    and void-driven bilinear fallback."""
+    import numpy as np
+
+    from mkgmap_spark.mapunits import to_map_unit
+    from mkgmap_spark.operators.dem import EXTRA, build_dem
+
+    res = 64
+    grids = {}
+    for cy in (9, 10):
+        for cx in (19, 20):
+            if (cy, cx) == (10, 20):
+                continue
+            n = (res + 1) * (res + 1)
+            g = np.zeros(n, dtype=np.int16)
+            for i in range(n):
+                y, x = divmod(i, res + 1)
+                v = 100 * (cy - 9) + 50 * (cx - 19) + \
+                    ((x * 13 + y * 7) % 37) + (x // 16) * 5
+                if (x * 31 + y * 17 + cy + cx) % 41 == 0:
+                    v = UNDEF
+                g[i] = v
+            grids[(cy, cx)] = (res, g)
+
+    min_lat_mu = to_map_unit(9.93)
+    max_lat_mu = to_map_unit(10.12)
+    min_lon_mu = to_map_unit(19.88)
+    max_lon_mu = to_map_unit(20.07)
+    dists = [3312]  # auto: distHGTx3 for res 64 >> 3312 -> bicubic
+
+    tiles_df, _secs, _tre = build_dem(
+        spark, grids, min_lat_mu, min_lon_mu, max_lat_mu, max_lon_mu, dists)
+    from mkgmap_spark.functions.dem_codec import decode_tile
+    from mkgmap_spark.operators.dem import dem_level_plan
+
+    min_lat_deg = int(math.floor(9.93 - EXTRA))
+    min_lon_deg = int(math.floor(19.88 - EXTRA))
+    min_lat32 = int(to_map_unit(float(min_lat_deg))) * 256
+    min_lon32 = int(to_map_unit(float(min_lon_deg))) * 256
+    _, levels = dem_level_plan(min_lat_mu, min_lon_mu, max_lat_mu,
+                               max_lon_mu, dists, highest_res=res)
+    lv = levels[0]
+    checked = 0
+    for t in tiles_df.collect():
+        decoded = decode_tile(bytes(t.stream), t.base, t.max_delta,
+                              t.enc_type, t.tile_width, t.tile_height)
+        lat_off = lv.top - t.tile_row * 64 * lv.point_dist
+        lon_off = lv.left + t.tile_col * 64 * lv.point_dist
+        for idx in range(0, t.tile_width * t.tile_height,
+                         max(1, (t.tile_width * t.tile_height) // 61)):
+            y, x = divmod(idx, t.tile_width)
+            lat32 = lat_off - y * lv.point_dist
+            lon32 = lon_off + x * lv.point_dist
+            exp = _ref_get_elevation_bicubic(
+                lat32, lon32, grids, min_lat_deg, min_lon_deg,
+                min_lat32, min_lon32, UNDEF)
+            assert decoded[idx] == exp, (t.tile_row, t.tile_col, idx,
+                                         decoded[idx], exp)
+            checked += 1
+    assert checked > 300
