@@ -1,8 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship tile-assignment pipeline on sf0.001.
-queries()     -> 54 operator queries from SURVEY.md §2 (mkgmap_spark/queries.py).
-oracle_sql()  -> 54 matching DuckDB SQL twins — every query is fully
+queries()     -> 56 operator queries from SURVEY.md §2 (mkgmap_spark/queries.py).
+oracle_sql()  -> 56 matching DuckDB SQL twins — every query is fully
                  SQL-oracled.  tile_assign's twin embeds the quadtree
                  precomputed by the independent element-at-a-time
                  oracle for each gate scale (self-selected by lineitem

@@ -280,6 +280,13 @@ def run_from_args(spark: SparkSession, argv: list[str]) -> RunResult:
             builds.append(FileBuild(fa, feats, tiles))
             continue
         elements = read_input(spark, fa.name)
+        # reading hooks run before styling (OsmReadingHooksChain):
+        # roundabout oneway + exit refs always, cycleway synthesis by option
+        from ..operators.highway_hooks import apply_highway_hooks
+
+        make_opp = (fa.get("make-opposite-cycleways") is not None
+                    or fa.get("make-all-cycleways") is not None)
+        elements = apply_highway_hooks(elements, make_opp)
         style_file = fa.get("style-file")
         if style_file:
             style_dir = style_file

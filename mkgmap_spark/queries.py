@@ -3257,6 +3257,199 @@ FROM cells
 """
 
 
+def q_cycleway_hooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HighwayHooks + StyledConverter.makeCycleWay over a deterministic
+    tag mix: implicit roundabout oneway, the opposite-cycleway flag
+    ladder, and the synthesised reverse cycleway duplicate (access=no /
+    bicycle=yes / oneway=no, vehicle-class tags dropped).  The oracle
+    replays the ladder as CASE arithmetic and emits the duplicate row
+    via UNION ALL."""
+    from .operators.highway_hooks import (
+        highway_hooks_ways,
+        synthesize_cycleways,
+    )
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    hw = (F.when(k % 7 == 0, "residential").when(k % 7 == 1, "motorway")
+           .when(k % 7 == 2, "cycleway").when(k % 7 == 3, F.lit(None))
+           .when(k % 7 == 4, "primary").when(k % 7 == 5, "secondary")
+           .otherwise("trunk"))
+    ow = (F.when(k % 6 == 0, "yes").when(k % 6 == 1, "-1")
+           .when(k % 6 == 2, "no").when(k % 6 == 3, F.lit(None))
+           .when(k % 6 == 4, "true").otherwise("reverse"))
+    ways = c.select(
+        k.alias("id"),
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(F.lit("highway"), F.lit("route"), F.lit("junction"),
+                        F.lit("oneway"), F.lit("oneway:bicycle"),
+                        F.lit("cycleway"), F.lit("cycleway:left"),
+                        F.lit("motorcar"), F.lit("foot"), F.lit("name")),
+                F.array(
+                    hw,
+                    F.when(k % 7 == 3, "ferry"),
+                    F.when(k % 5 == 0, "roundabout"),
+                    ow,
+                    F.when(k % 4 == 1, "no"),
+                    F.when(k % 3 == 1, "opposite")
+                     .when(k % 3 == 2, "lane"),
+                    F.when(k % 11 == 0, "opposite_track"),
+                    F.when(k % 2 == 0, "yes"),
+                    F.when(k % 3 == 0, "yes"),
+                    F.concat(F.lit("W"), k.cast("string")),
+                ),
+            ),
+            lambda kk, v: v.isNotNull(),
+        ).alias("tags"),
+    )
+    out = synthesize_cycleways(
+        highway_hooks_ways(ways, make_opposite_cycleways=True))
+    t = F.col("tags")
+    return out.select(
+        "id",
+        F.coalesce(t.getItem("mkgmap:synthesised") == "yes", F.lit(False))
+         .alias("synthesized"),
+        t.getItem("oneway").alias("oneway_out"),
+        t.getItem("access").alias("access_out"),
+        t.getItem("bicycle").alias("bicycle_out"),
+        t.getItem("motorcar").alias("motorcar_out"),
+        t.getItem("foot").alias("foot_out"),
+        t.getItem("name").alias("name_out"),
+        t.getItem("mkgmap:make-cycle-way").isNotNull().alias("flag_left"),
+    )
+
+
+Q_CYCLEWAY_HOOKS_SQL = """
+WITH w AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+    CASE c_custkey % 7 WHEN 0 THEN 'residential' WHEN 1 THEN 'motorway'
+         WHEN 2 THEN 'cycleway' WHEN 3 THEN NULL WHEN 4 THEN 'primary'
+         WHEN 5 THEN 'secondary' ELSE 'trunk' END AS highway,
+    CASE WHEN c_custkey % 7 = 3 THEN 'ferry' END AS route,
+    CASE WHEN c_custkey % 5 = 0 THEN 'roundabout' END AS junction,
+    CASE c_custkey % 6 WHEN 0 THEN 'yes' WHEN 1 THEN '-1' WHEN 2 THEN 'no'
+         WHEN 3 THEN NULL WHEN 4 THEN 'true' ELSE 'reverse' END AS oneway,
+    CASE WHEN c_custkey % 4 = 1 THEN 'no' END AS oneway_bicycle,
+    CASE WHEN c_custkey % 3 = 1 THEN 'opposite'
+         WHEN c_custkey % 3 = 2 THEN 'lane' END AS cycleway,
+    CASE WHEN c_custkey % 11 = 0 THEN 'opposite_track' END AS cycleway_left,
+    CASE WHEN c_custkey % 2 = 0 THEN 'yes' END AS motorcar,
+    CASE WHEN c_custkey % 3 = 0 THEN 'yes' END AS foot,
+    'W' || CAST(c_custkey AS VARCHAR) AS name
+  FROM customer
+), eff AS (
+  SELECT *,
+    highway IS NOT NULL OR route = 'ferry' AS is_road,
+    CASE WHEN (highway IS NOT NULL OR route = 'ferry')
+              AND junction = 'roundabout' AND oneway IS NULL
+         THEN 'yes' ELSE oneway END AS oneway_eff
+  FROM w
+), flag AS (
+  SELECT *,
+    is_road
+    AND (highway IS NULL OR highway <> 'cycleway')
+    AND COALESCE(oneway_eff IN ('yes','true','1','-1','reverse'), FALSE)
+    AND (COALESCE(oneway_bicycle = 'no', FALSE)
+         OR COALESCE(cycleway IN ('opposite','opposite_lane',
+                                  'opposite_track'), FALSE)
+         OR COALESCE(cycleway_left IN ('opposite_lane','opposite_track'),
+                     FALSE)) AS make_cycle
+  FROM eff
+)
+SELECT id, FALSE AS synthesized, oneway_eff AS oneway_out,
+       CAST(NULL AS VARCHAR) AS access_out,
+       CAST(NULL AS VARCHAR) AS bicycle_out,
+       motorcar AS motorcar_out, foot AS foot_out, name AS name_out,
+       FALSE AS flag_left
+FROM flag
+UNION ALL
+SELECT id, TRUE, 'no', 'no', 'yes', NULL, NULL, name, FALSE
+FROM flag WHERE make_cycle
+"""
+
+
+def q_exit_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HighwayHooks exit handling: junction nodes gain mkgmap:osmid and
+    inherit exit:road_ref from the lowest-id ref-tagged motorway/trunk
+    way containing them; pre-tagged exits keep their ref.  The oracle
+    rebuilds the way->node containment arithmetically and arg_min's
+    the ref."""
+    from .operators.highway_hooks import exit_road_refs
+
+    s = _read(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    nodes = s.select(
+        k.alias("id"),
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(F.lit("highway"), F.lit("exit:road_ref"),
+                        F.lit("name")),
+                F.array(
+                    F.when(k % 3 == 0, "motorway_junction")
+                     .when(k % 3 == 1, "services")
+                     .otherwise("bus_stop"),
+                    F.when(k % 5 == 0, F.concat(F.lit("A"), k.cast("string"))),
+                    F.concat(F.lit("N"), k.cast("string")),
+                ),
+            ),
+            lambda kk, v: v.isNotNull(),
+        ).alias("tags"),
+    )
+    ways = s.select(
+        (k + 100000).alias("id"),
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(F.lit("highway"), F.lit("ref")),
+                F.array(
+                    F.when(k % 2 == 0, "motorway").otherwise("trunk"),
+                    F.when(k % 4 != 1, F.concat(F.lit("M"),
+                                                (k % 40).cast("string"))),
+                ),
+            ),
+            lambda kk, v: v.isNotNull(),
+        ).alias("tags"),
+        F.array(k, (k * 3) % 97 + 1, (k * 7) % 97 + 1).alias("refs"),
+    )
+    out = exit_road_refs(nodes, ways)
+    t = F.col("tags")
+    return out.select(
+        "id",
+        t.getItem("mkgmap:osmid").alias("osmid_tag"),
+        t.getItem("exit:road_ref").alias("road_ref_out"),
+        t.getItem("highway").alias("highway_out"),
+    )
+
+
+Q_EXIT_REFS_SQL = """
+WITH n AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS id,
+    CASE s_suppkey % 3 WHEN 0 THEN 'motorway_junction'
+         WHEN 1 THEN 'services' ELSE 'bus_stop' END AS highway,
+    CASE WHEN s_suppkey % 5 = 0
+         THEN 'A' || CAST(s_suppkey AS VARCHAR) END AS pre_ref
+  FROM supplier
+), wn AS (
+  SELECT CAST(s_suppkey + 100000 AS BIGINT) AS way_id,
+         CASE WHEN s_suppkey % 4 <> 1
+              THEN 'M' || CAST(s_suppkey % 40 AS VARCHAR) END AS ref,
+         unnest([CAST(s_suppkey AS BIGINT),
+                 CAST((s_suppkey * 3) % 97 + 1 AS BIGINT),
+                 CAST((s_suppkey * 7) % 97 + 1 AS BIGINT)]) AS node_id
+  FROM supplier
+), best AS (
+  SELECT node_id, arg_min(ref, way_id) AS road_ref
+  FROM wn WHERE ref IS NOT NULL GROUP BY node_id
+)
+SELECT n.id,
+       CAST(n.id AS VARCHAR) AS osmid_tag,
+       COALESCE(n.pre_ref, best.road_ref) AS road_ref_out,
+       n.highway AS highway_out
+FROM n LEFT JOIN best ON n.id = best.node_id
+WHERE n.highway IN ('motorway_junction', 'services')
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "style_rules": q_style_rules,
     "style_rules_full": q_style_rules_full,
@@ -3312,6 +3505,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_roundtrip": q_label_roundtrip,
     "dem_tiles": q_dem_tiles,
     "dem_section": q_dem_section,
+    "cycleway_hooks": q_cycleway_hooks,
+    "exit_refs": q_exit_refs,
 }
 
 ORACLES: dict[str, str] = {
@@ -3374,4 +3569,6 @@ ORACLES: dict[str, str] = {
     "label_roundtrip": Q_LABEL_ROUNDTRIP_SQL,
     "dem_tiles": Q_DEM_TILES_SQL,
     "dem_section": Q_DEM_SECTION_SQL,
+    "cycleway_hooks": Q_CYCLEWAY_HOOKS_SQL,
+    "exit_refs": Q_EXIT_REFS_SQL,
 }

@@ -122,3 +122,17 @@ def test_distances():
     assert abs(d - 111_194) < 500  # sphere value for R=6378137: 2piR/360
     de = g.distance_equirect_m(0, 0, 0, one_deg)
     assert abs(d - de) < 1.0
+
+
+def test_round_up_reference_cases():
+    """UtilsTest.testRoundUp (imgfmt/UtilsTest.java:57-64): ceil to a
+    multiple of 2^shift, negative-safe — ceil_pof2 is the arithmetic
+    twin of Utils.roundUp's unsigned-shift trick."""
+    from mkgmap_spark.mapunits import ceil_pof2
+
+    assert ceil_pof2(1, 0) == 1
+    assert ceil_pof2(-1, 0) == -1
+    assert ceil_pof2(1, 1) == 2
+    assert ceil_pof2(-1, 1) == 0
+    assert ceil_pof2(2, 1) == 2
+    assert ceil_pof2(-2, 1) == -2
