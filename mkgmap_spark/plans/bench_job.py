@@ -79,6 +79,10 @@ def run(cpus: int, corpus: str, out_dir: str, shuffle_partitions: int | None = N
             "    concat_ws('\\u0001', s.kind, coalesce(s.text, ''), coalesce(s.media_ref, '')) as v))),"
             "  p -> p.v), '\\u0002')"
         )
+        # tokens materialize as their own column for the same reason as
+        # the prehash: the shingle lambda would otherwise re-split the
+        # whole text once PER SHINGLE (O(tokens^2) per doc — split is
+        # non-cheap, so CollapseProject keeps the alias shared)
         doc_text = d.select(
             "doc_id",
             F.md5(span_seq).alias("span_fp"),
@@ -86,14 +90,19 @@ def run(cpus: int, corpus: str, out_dir: str, shuffle_partitions: int | None = N
         ).select(
             "doc_id",
             "span_fp",
+            "text",
+            F.split(F.trim("text"), r"\s+").alias("_toks"),
+        ).select(
+            "doc_id",
+            "span_fp",
             F.when(F.length(F.trim("text")) == 0, 0)
-            .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+            .otherwise(F.size("_toks"))
             .cast("long")
             .alias("n_tokens"),
             F.expr(
-                "case when size(split(trim(text), '\\\\s+')) < 3 then array(text) "
-                "else transform(sequence(1, size(split(trim(text), '\\\\s+')) - 2),"
-                " i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, 3))) end"
+                "case when size(_toks) < 3 then array(text) "
+                "else transform(sequence(1, size(_toks) - 2),"
+                " i -> concat_ws(' ', slice(_toks, i, 3))) end"
             ).alias("_sh"),
         )
         return doc_text.withColumn(
