@@ -469,7 +469,8 @@ def bicubic_height_vec(ext: np.ndarray, res: int,
 def sample_hgt_lattice(cells: DataFrame,
                        hgt_grids: Dict[Tuple[int, int], Tuple[int, np.ndarray]],
                        min_lat_deg: int, min_lon_deg: int,
-                       outside_height: int = _UNDEF) -> DataFrame:
+                       outside_height: int = _UNDEF,
+                       poly_rings=None) -> DataFrame:
     """Sample elevation at every lattice point.  ``cells`` carries a
     DEM-unit position (lat32, lon32) per point plus any pass-through
     columns; ``hgt_grids`` maps integer-degree SW corners to
@@ -483,6 +484,13 @@ def sample_hgt_lattice(cells: DataFrame,
     180-degree overflow guard (origin east of 0 but the point wrapped
     to <= 0) applies too.
 
+    ``poly_rings`` (--dem-poly, a ``sources.polyfile`` ring list in map
+    units): lattice points outside the polygon region get
+    ``outside_height`` without touching the HGT grids — the point-wise
+    equivalent of HGTConverter.getHeights' testArea.contains clip
+    (HGTConverter.java:609-641; the polygon is in map units, the
+    lattice in map units * 256, so rings scale by 256).
+
     Scale shape: the HGT dimension for one map tile is tens of
     one-degree grids — broadcast once per job; sampling is a
     mapInPandas over the lattice with pure numpy per batch, so cost is
@@ -495,6 +503,8 @@ def sample_hgt_lattice(cells: DataFrame,
     bc = spark.sparkContext.broadcast(
         {k: (res, np.asarray(g, dtype=np.int16))
          for k, (res, g) in hgt_grids.items()})
+    bc_poly = (spark.sparkContext.broadcast(list(poly_rings))
+               if poly_rings else None)
     min_lat32 = int(to_map_unit(float(min_lat_deg))) * 256
     min_lon32 = int(to_map_unit(float(min_lon_deg))) * 256
 
@@ -520,6 +530,10 @@ def sample_hgt_lattice(cells: DataFrame,
             # 180-degree overflow guard (HGTConverter.getHeights)
             guard = (pdf["lon_off"].to_numpy(np.int64) > 0) & (lon32 <= 0)
             ok = ~guard & (rel_lat >= 0) & (rel_lon >= 0)
+            if bc_poly is not None:
+                from ..sources.polyfile import points_in_poly
+
+                ok &= points_in_poly(lat32, lon32, bc_poly.value, scale=256)
             want_complex = (pdf["use_complex"].to_numpy(bool)
                             if has_complex else np.zeros(len(pdf), bool))
             for (cy, cx), (res, grid) in grids.items():
@@ -568,7 +582,8 @@ def build_dem(spark: SparkSession,
               point_dists: List[int],
               outside_height: int = _UNDEF,
               highest_res: Optional[int] = None,
-              interpolation: str = "auto"):
+              interpolation: str = "auto",
+              poly_rings=None):
     """The --dem stage end to end: plan the zoom levels for the tile
     bbox, carve each section into its tile grid, sample the HGT
     lattice, encode every tile into the Garmin bit stream, and derive
@@ -583,8 +598,15 @@ def build_dem(spark: SparkSession,
     finer than a third of the HGT resolution); the bicubic window
     borrows across file edges from same-resolution neighbours exactly
     like HGTConverter.fillArray/prepReader, degrading to the bilinear
-    void ladder otherwise.  Not ported: --dem-poly bounding polygons
-    (bbox only here)."""
+    void ladder otherwise.
+
+    ``poly_rings`` (--dem-poly): clip the elevation lattice to a
+    bounding polygon — points outside get ``outside_height``
+    (--dem-outside-polygon, default the void value); see
+    :func:`sample_hgt_lattice`.  The caller decides WHETHER to clip
+    (MapBuilder.java:326-333 skips the polygon when it doesn't
+    intersect or fully contains the widened tile rect — that guard
+    lives in plans/main.build_dem_for_features)."""
     from ..mapunits import to_degrees
 
     if highest_res is None:
@@ -639,7 +661,7 @@ def build_dem(spark: SparkSession,
          * F.col("point_dist")).alias("lon32"),
     )
     sampled = sample_hgt_lattice(cells, hgt_grids, min_lat_deg,
-                                 min_lon_deg, outside_height)
+                                 min_lon_deg, outside_height, poly_rings)
     tiles = encode_dem_tiles(
         sampled.select("zoom", "tile_row", "tile_col", "tile_width",
                        "tile_height", "idx", "height"),

@@ -222,15 +222,24 @@ class RunResult:
 
 def build_dem_for_features(spark: SparkSession, feats: DataFrame,
                            dem_dirs: list[str], dem_dists: list[int],
-                           interpolation: str = "auto"):
+                           interpolation: str = "auto",
+                           poly_path: str | None = None,
+                           outside_height: int | None = None):
     """--dem / --dem-dists: derive the feature bbox, load the HGT
     coverage for the EXTRA-widened area, and run the elevation build
     (plan levels, carve tile grids, sample, encode) — the DEMFile.calc
-    flow with the bbox taken from the converted features."""
+    flow with the bbox taken from the converted features.
+
+    ``poly_path`` (--dem-poly, an Osmosis .poly file) clips the lattice
+    to the polygon with MapBuilder.java:326-333's guard: the polygon
+    only applies when it intersects — but does not fully contain — the
+    tile rect widened by 2 degrees.  ``outside_height``
+    (--dem-outside-polygon) is the elevation written outside it,
+    default the void value (HGTReader.UNDEF)."""
     import math
 
-    from ..mapunits import to_degrees
-    from ..operators.dem import EXTRA, build_dem, load_hgt_grids
+    from ..mapunits import to_degrees, to_map_unit
+    from ..operators.dem import _UNDEF, EXTRA, build_dem, load_hgt_grids
 
     bounds = feats.select(
         F.min(F.expr("array_min(lats)")).alias("min_lat"),
@@ -246,10 +255,25 @@ def build_dem_for_features(spark: SparkSession, feats: DataFrame,
     max_lon_deg = min(int(math.ceil(to_degrees(bounds.max_lon) + EXTRA)), 180)
     grids = load_hgt_grids(dem_dirs, min_lat_deg, min_lon_deg,
                            max_lat_deg, max_lon_deg)
+    poly_rings = None
+    if poly_path:
+        from ..sources.polyfile import read_poly, rect_poly_relation
+
+        rings = read_poly(poly_path)
+        # MapBuilder widens the tile rect by 2 degrees and clips only
+        # when the polygon intersects but does not contain it
+        pad = int(to_map_unit(2.0))
+        rel = rect_poly_relation(
+            rings,
+            int(bounds.min_lat) - pad, int(bounds.min_lon) - pad,
+            int(bounds.max_lat) + pad, int(bounds.max_lon) + pad)
+        if rel == 1:
+            poly_rings = rings
     tiles, sections, _tre = build_dem(
         spark, grids, int(bounds.min_lat), int(bounds.min_lon),
         int(bounds.max_lat), int(bounds.max_lon), dem_dists,
-        interpolation=interpolation)
+        outside_height=_UNDEF if outside_height is None else outside_height,
+        interpolation=interpolation, poly_rings=poly_rings)
     return tiles, sections
 
 
@@ -317,9 +341,12 @@ def run_from_args(spark: SparkSession, argv: list[str]) -> RunResult:
         if fa.get("dem"):
             dists = [int(x) for x in
                      (fa.get("dem-dists") or "3312").split(",") if x.strip()]
+            outside = fa.get("dem-outside-polygon")
             fb.dem_tiles, fb.dem_sections = build_dem_for_features(
                 spark, feats, fa.get("dem").split(","), dists,
-                interpolation=fa.get("dem-interpolation", "auto"))
+                interpolation=fa.get("dem-interpolation", "auto"),
+                poly_path=fa.get("dem-poly") or None,
+                outside_height=int(outside) if outside else None)
         builds.append(fb)
 
     result = RunResult(builds)

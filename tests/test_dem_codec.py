@@ -594,3 +594,103 @@ def test_build_dem_bicubic_end_to_end(spark):
                                          decoded[idx], exp)
             checked += 1
     assert checked > 300
+
+
+def _scalar_winding_inside(lat, lon, rings):
+    """Independent scalar containment oracle for the --dem-poly tests:
+    nonzero-winding per ring (java.awt Path2D default), applied in the
+    add/subtract file order PolygonFileReader uses."""
+    inside = False
+    for ring in rings:
+        ry = [v * 256 for v in ring.lats_mu.tolist()]
+        rx = [v * 256 for v in ring.lons_mu.tolist()]
+        wn = 0
+        n = len(ry)
+        for i in range(n):
+            y1, x1 = ry[i], rx[i]
+            y2, x2 = ry[(i + 1) % n], rx[(i + 1) % n]
+            cross = (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)
+            if y1 <= lat < y2 and cross > 0:
+                wn += 1
+            elif y2 <= lat < y1 and cross < 0:
+                wn -= 1
+        if wn != 0:
+            inside = not ring.negative
+    return inside
+
+
+def test_build_dem_poly_clip(spark):
+    """--dem-poly: lattice points outside the bounding polygon carry
+    the outside height; points inside match the unclipped build
+    bit-for-bit (HGTConverter.getHeights' testArea clip)."""
+    import numpy as np
+
+    from mkgmap_spark.functions.dem_codec import decode_tile
+    from mkgmap_spark.mapunits import to_map_unit
+    from mkgmap_spark.operators.dem import build_dem, dem_level_plan
+    from mkgmap_spark.sources.polyfile import PolyRing
+
+    res = 64
+    grids = {}
+    for cy in (9, 10):
+        for cx in (19, 20):
+            n = (res + 1) * (res + 1)
+            g = np.zeros(n, dtype=np.int16)
+            for i in range(n):
+                y, x = divmod(i, res + 1)
+                g[i] = 80 * (cy - 9) + 40 * (cx - 19) + ((x * 11 + y * 5) % 29)
+            grids[(cy, cx)] = (res, g)
+
+    min_lat_mu = to_map_unit(9.4)
+    max_lat_mu = to_map_unit(10.3)
+    min_lon_mu = to_map_unit(19.3)
+    max_lon_mu = to_map_unit(20.4)
+    dists = [6624]
+
+    def ring(neg, pts):
+        return PolyRing(
+            "r", neg,
+            to_map_unit(np.array([p[0] for p in pts], dtype=np.float64)),
+            to_map_unit(np.array([p[1] for p in pts], dtype=np.float64)))
+
+    # covers the west half, with a hole in the middle of it
+    rings = [ring(False, [(9.0, 19.0), (9.0, 19.9), (10.5, 19.9), (10.5, 19.0)]),
+             ring(True, [(9.7, 19.45), (9.7, 19.7), (10.0, 19.7), (10.0, 19.45)])]
+
+    outside = 7  # a custom --dem-outside-polygon value, not the void
+    plain, _, _ = build_dem(spark, grids, min_lat_mu, min_lon_mu,
+                            max_lat_mu, max_lon_mu, dists,
+                            interpolation="bilinear")
+    clipped, _, _ = build_dem(spark, grids, min_lat_mu, min_lon_mu,
+                              max_lat_mu, max_lon_mu, dists,
+                              outside_height=outside,
+                              interpolation="bilinear", poly_rings=rings)
+
+    _, levels = dem_level_plan(min_lat_mu, min_lon_mu, max_lat_mu,
+                               max_lon_mu, dists, highest_res=res)
+    lv = levels[0]
+    plain_heights = {}
+    for t in plain.collect():
+        dec = decode_tile(bytes(t.stream), t.base, t.max_delta,
+                          t.enc_type, t.tile_width, t.tile_height)
+        plain_heights[(t.tile_row, t.tile_col)] = (dec, t.tile_width)
+
+    n_in = n_out = 0
+    for t in clipped.collect():
+        dec = decode_tile(bytes(t.stream), t.base, t.max_delta,
+                          t.enc_type, t.tile_width, t.tile_height)
+        base, width = plain_heights[(t.tile_row, t.tile_col)]
+        lat_off = lv.top - t.tile_row * 64 * lv.point_dist
+        lon_off = lv.left + t.tile_col * 64 * lv.point_dist
+        for idx in range(len(dec)):
+            y, x = divmod(idx, width)
+            lat32 = lat_off - y * lv.point_dist
+            lon32 = lon_off + x * lv.point_dist
+            if _scalar_winding_inside(lat32, lon32, rings):
+                assert dec[idx] == base[idx], (t.tile_row, t.tile_col, idx)
+                n_in += 1
+            else:
+                assert dec[idx] == outside, (t.tile_row, t.tile_col, idx,
+                                             dec[idx])
+                n_out += 1
+    assert n_in > 500 and n_out > 500
