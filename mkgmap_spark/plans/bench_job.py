@@ -82,7 +82,15 @@ def run(cpus: int, corpus: str, out_dir: str, shuffle_partitions: int | None = N
         # tokens materialize as their own column for the same reason as
         # the prehash: the shingle lambda would otherwise re-split the
         # whole text once PER SHINGLE (O(tokens^2) per doc — split is
-        # non-cheap, so CollapseProject keeps the alias shared)
+        # non-cheap, so CollapseProject keeps the alias shared).
+        # Shingle identity is then the xxhash64-combine of THREE
+        # CONSECUTIVE TOKEN HASHES, never a materialized shingle
+        # string: building the 3-word strings allocates ~3x the text
+        # per doc and turns the stage memory-bandwidth/GC-bound — at
+        # local[16] the string variant ran 67s vs 23s for the hash
+        # combine on the 4M-doc corpus (scaling eff 0.47 -> ~1.0),
+        # identical dedup power (minhash only needs a deterministic
+        # shingle fingerprint).
         doc_text = d.select(
             "doc_id",
             F.md5(span_seq).alias("span_fp"),
@@ -99,14 +107,16 @@ def run(cpus: int, corpus: str, out_dir: str, shuffle_partitions: int | None = N
             .otherwise(F.size("_toks"))
             .cast("long")
             .alias("n_tokens"),
-            F.expr(
-                "case when size(_toks) < 3 then array(text) "
-                "else transform(sequence(1, size(_toks) - 2),"
-                " i -> concat_ws(' ', slice(_toks, i, 3))) end"
-            ).alias("_sh"),
+            F.expr("transform(_toks, t -> xxhash64(t))").alias("_th"),
+            "text",
         )
         return doc_text.withColumn(
-            "_pre", F.expr("transform(_sh, s -> xxhash64(s))")
+            "_pre",
+            F.expr(
+                "case when size(_th) < 3 then array(xxhash64(text)) "
+                "else transform(sequence(0, size(_th) - 3),"
+                " i -> xxhash64(_th[i], _th[i+1], _th[i+2])) end"
+            ),
         ).select(
             "doc_id", "span_fp", "n_tokens",
             minhash_signature_from_prehash("_pre", 32).alias("signature"),
@@ -152,7 +162,7 @@ def run(cpus: int, corpus: str, out_dir: str, shuffle_partitions: int | None = N
     # checkpointed stage: later stages re-scan columnar output instead
     # of recomputing the decode
     prepared = ckpt.stage("prepared", _build_prepared, inputs=[corpus], coalesce=cpus * 2)
-    n_features = prepared.count()
+    n_features = prepared.count()  # metadata-only over the checkpoint
     t_decode = time.perf_counter()
 
     # doc-features pass: span-sequence fingerprint (the per-row
@@ -161,6 +171,15 @@ def run(cpus: int, corpus: str, out_dir: str, shuffle_partitions: int | None = N
     feats_out = doc_features(docs)
     feats_out.coalesce(cpus * 2).write.mode("overwrite").parquet(f"{out_dir}/doc_features")
     t_docfeat = time.perf_counter()
+
+    # the remaining stages (PIP probe, one histogram aggregation per
+    # quadtree refine round, the assignment join) all re-scan
+    # `prepared`.  Deliberately NOT .persist()ed: the checkpoint is a
+    # narrow 6-column parquet whose scans are pruned+vectorized, and a
+    # measured A/B at 16M docs put the cached-relation variant 8x
+    # SLOWER on the histogram rounds (112.9s vs 13.6s split stage) —
+    # the in-memory columnar scan beats parquet only when the scan
+    # itself dominates, which it does not here.
 
     # location join (LocationHook): nodes vs the boundary lattice
     pts = prepared.filter(F.col("kind_i") == tiling.POINT_KIND)
@@ -212,7 +231,15 @@ def main() -> None:
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    out = args.out or tempfile.mkdtemp(prefix="bench_out_")
+    # scratch on tmpfs when available: the measured job writes several
+    # GB of sinks, and on a shared single-disk host the writeback flush
+    # of one leg's output contaminates the NEXT leg's wall (observed as
+    # multi-minute load-average tails with zero running processes).
+    # RAM-backed scratch removes that cross-leg coupling; on a real
+    # cluster the sinks are a distributed store, not one local disk.
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = args.out or tempfile.mkdtemp(prefix="bench_out_", dir=shm)
+    os.makedirs(out, exist_ok=True)
     try:
         print(json.dumps(run(args.cpus, args.corpus, out)))
     finally:

@@ -58,12 +58,36 @@ def main() -> None:
     corpus = ensure_corpus(args.n_docs)
     small, large = args.n, args.n * 4
 
+    STAGES = ("t_decode_s", "t_docfeat_s", "t_pip_s", "t_split_s",
+              "t_assign_write_s")
+
+    def contaminated(rs: dict, rl: dict) -> list[str]:
+        """Host-noise tell: identical work CANNOT take 1.3x longer on
+        4x the cores.  A burst of external load during one leg shows up
+        as exactly that (observed: t_pip 11.3s at 2 cores vs 37.6s at
+        8).  Returns the offending stages so the discard is visible."""
+        return [k for k in STAGES
+                if rl[k] > rs[k] * 1.3 + 1.0]
+
     # interleave A/B so machine-level noise (shared host) hits both
-    # parallelism levels evenly; keep the best of each
+    # parallelism levels evenly; a pair with an inverse-scaling stage
+    # is discarded and re-run (calibration discipline, BENCH/NOTES);
+    # keep the best of each valid leg
     small_runs, large_runs = [], []
-    for _ in range(args.repeat):
-        small_runs.append(run_level(small, corpus))
-        large_runs.append(run_level(large, corpus))
+    attempts = 0
+    while len(small_runs) < args.repeat and attempts < args.repeat * 3:
+        attempts += 1
+        rs = run_level(small, corpus)
+        rl = run_level(large, corpus)
+        bad = contaminated(rs, rl)
+        if bad:
+            print(f"# attempt {attempts}: discarded (inverse scaling on "
+                  f"{','.join(bad)})", file=sys.stderr)
+            continue
+        small_runs.append(rs)
+        large_runs.append(rl)
+    if not small_runs:  # every pair polluted: fall back to the last one
+        small_runs, large_runs = [rs], [rl]
     r_small = min(small_runs, key=lambda r: r["wall_s"])
     r_large = min(large_runs, key=lambda r: r["wall_s"])
 
