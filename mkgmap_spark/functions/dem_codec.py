@@ -284,6 +284,10 @@ class _Predicter:
 
 
 class _BitSink:
+    """MSB-first bit accumulator.  Bits collect in an int window and
+    flush to the byte buffer whole bytes at a time — the per-bit
+    append loop dominated encode_tile's profile before."""
+
     __slots__ = ("buf", "cur", "nbits")
 
     def __init__(self):
@@ -291,14 +295,18 @@ class _BitSink:
         self.cur = 0
         self.nbits = 0
 
+    def write(self, val: int, n: int) -> None:
+        cur = (self.cur << n) | val
+        nb = self.nbits + n
+        buf = self.buf
+        while nb >= 8:
+            nb -= 8
+            buf.append((cur >> nb) & 0xFF)
+        self.cur = cur & ((1 << nb) - 1)
+        self.nbits = nb
+
     def put(self, bit: int) -> None:
-        if bit:
-            self.cur |= 1 << (7 - self.nbits)
-        self.nbits += 1
-        if self.nbits == 8:
-            self.buf.append(self.cur)
-            self.cur = 0
-            self.nbits = 0
+        self.write(1 if bit else 0, 1)
 
     def bin(self, val: int, nbits: int) -> None:
         # unsigned, MSB first (DEMTile.writeValAsBin)
@@ -306,18 +314,15 @@ class _BitSink:
             return
         if val >= 1 << nbits:
             raise ValueError(f"{val} needs more than {nbits} bits")
-        for i in range(nbits - 1, -1, -1):
-            self.put((val >> i) & 1)
+        self.write(val, nbits)
 
     def zeros_then_one(self, n: int) -> None:
-        for _ in range(n):
-            self.put(0)
-        self.put(1)
+        self.write(1, n + 1)
 
     def bytes(self) -> bytes:
         out = bytearray(self.buf)
         if self.nbits:
-            out.append(self.cur)
+            out.append((self.cur << (8 - self.nbits)) & 0xFF)
         return bytes(out)
 
 
@@ -335,16 +340,33 @@ class _BitSource:
         return bit
 
     def bin(self, nbits: int) -> int:
-        v = 0
-        for _ in range(nbits):
-            v = (v << 1) | self.get()
+        # one int.from_bytes over the covered bytes instead of a
+        # per-bit loop
+        if nbits == 0:
+            return 0
+        pos = self.pos
+        end = pos + nbits
+        b0 = pos >> 3
+        b1 = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[b0:b1], "big")
+        v = (chunk >> ((b1 << 3) - end)) & ((1 << nbits) - 1)
+        self.pos = end
         return v
 
     def count_zeros(self) -> int:
+        # scan whole bytes; inside a byte, bit_length finds the first 1
+        data = self.data
+        pos = self.pos
         n = 0
-        while self.get() == 0:
-            n += 1
-        return n
+        while True:
+            rem = 8 - (pos & 7)
+            window = data[pos >> 3] & ((1 << rem) - 1)
+            if window:
+                z = rem - window.bit_length()
+                self.pos = pos + z + 1
+                return n + z
+            n += rem
+            pos += rem
 
 
 def analyze_tile(real_heights) -> Tuple[int, int, int, bool]:

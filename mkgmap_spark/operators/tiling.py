@@ -174,6 +174,10 @@ class SparkHistogramProvider:
     def fetch(self, regions: list[Region], gshift: int) -> pd.DataFrame:
         """One Spark job: per-cell aggregates for the union of regions.
 
+        An EMPTY region list means "no filter" — the whole input is
+        aggregated (the caller detected that the active blocks tile
+        the entire root, so a filter could only pass every row).
+
         Returns pandas DataFrame with cy, cx (absolute cell coords at
         ``gshift``) + AGG_COLS.
         """
@@ -263,7 +267,12 @@ class InMemoryHistogramProvider:
         self.jobs = 0
 
     def fetch(self, regions: list[Region], gshift: int) -> pd.DataFrame:
-        mask = np.zeros(len(self.ay), dtype=bool)
+        # empty region list = no filter (whole input), matching
+        # SparkHistogramProvider
+        if not regions:
+            mask = np.ones(len(self.ay), dtype=bool)
+        else:
+            mask = np.zeros(len(self.ay), dtype=bool)
         for r in regions:
             mask |= (
                 (self.ay >= r.min_y)
@@ -421,14 +430,39 @@ class SplitResult:
         return v
 
 
-def _dedupe_sum(keys: np.ndarray, aggs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _dedupe_sum(
+    keys: np.ndarray, aggs: np.ndarray, assume_sorted: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
     # one sort + segmented sum (reduceat) — np.unique + per-column
-    # float bincounts cost ~2x on the 400k+-cell rounds
-    order = np.argsort(keys, kind="stable")
-    sk = keys[order]
-    sa = aggs[order]
-    starts = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
-    return sk[starts], np.add.reduceat(sa, starts, axis=0)
+    # float bincounts cost ~2x on the 400k+-cell rounds.
+    # assume_sorted skips the argsort (the x-halving pyramid transform
+    # is monotone, so sortedness survives it); the all-unique fast path
+    # skips the reduceat copy (the first level's keys come out of a
+    # groupBy, already distinct).
+    if not assume_sorted:
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        aggs = aggs[order]
+    uniq = np.concatenate(([True], keys[1:] != keys[:-1]))
+    if uniq.all():
+        return keys, aggs
+    starts = np.flatnonzero(uniq)
+    return keys[starts], np.add.reduceat(aggs, starts, axis=0)
+
+
+def _in_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Membership of ``values`` in an already-sorted key array.
+
+    np.isin re-sorts both inputs on every call; the sweep's key arrays
+    are sorted by construction (_dedupe_sum output, np.unique results),
+    so a searchsorted probe does the same job in O(n log m) with no
+    copies — measured ~3x faster on the 450k-cell refinement rounds.
+    """
+    if len(sorted_set) == 0:
+        return np.zeros(len(values), dtype=bool)
+    pos = np.searchsorted(sorted_set, values)
+    pos_c = np.minimum(pos, len(sorted_set) - 1)
+    return sorted_set[pos_c] == values
 
 
 def split_level(provider, shift: int, level: int = 0) -> SplitResult:
@@ -449,9 +483,11 @@ def split_level(provider, shift: int, level: int = 0) -> SplitResult:
     # pending: dict s -> int64 array of block keys ((by<<32)|bx) to evaluate
     pending: dict[int, np.ndarray] = {2 * g: np.array([0], dtype=np.int64)}
 
-    raw_tiles: list[tuple] = []  # (s, key, n_slots, n_p, n_l, n_s, s_tot)
+    raw_tiles: list[np.ndarray] = []  # (n, 7) blocks: s, key, n_slots, n_p, n_l, n_s, s_tot
     refine_rounds = -1
     cells_fetched = 0
+    total_rows = None  # grand total, known after an unfiltered round
+    pending_rows = None  # rows inside the current pending blocks
 
     while pending:
         refine_rounds += 1
@@ -461,19 +497,33 @@ def split_level(provider, shift: int, level: int = 0) -> SplitResult:
         a_min = min(_shape(s)[0] for s in pending)
         gc = max(shift, a_min - FETCH_AXIS_BITS)
 
-        regions = []
-        for s, keys in pending.items():
-            a, b = _shape(s)
-            for k in keys.tolist():
-                by, bx = k >> 32, k & 0xFFFFFFFF
-                regions.append(
-                    Region(
-                        mn_y + (by << a),
-                        mn_x + (bx << b),
-                        mn_y + ((by + 1) << a),
-                        mn_x + ((bx + 1) << b),
+        # pending blocks are disjoint by construction; when they tile
+        # the ENTIRE root, or when the previous round proved that the
+        # pending blocks hold every input row (the uniform-density
+        # case — every block of a round stays hot), the per-region
+        # filter/semi-join in fetch() can only pass every row, so skip
+        # building it: fetch([]) scans the whole input unfiltered (one
+        # less broadcast join per refinement round).
+        covered = sum(len(keys) << s for s, keys in pending.items())
+        whole = covered == root.h * root.w or (
+            total_rows is not None and pending_rows == total_rows
+        )
+        if whole:
+            regions: list[Region] = []
+        else:
+            regions = []
+            for s, keys in pending.items():
+                a, b = _shape(s)
+                for k in keys.tolist():
+                    by, bx = k >> 32, k & 0xFFFFFFFF
+                    regions.append(
+                        Region(
+                            mn_y + (by << a),
+                            mn_x + (bx << b),
+                            mn_y + ((by + 1) << a),
+                            mn_x + ((bx + 1) << b),
+                        )
                     )
-                )
         hist = provider.fetch(regions, gc)
         cells_fetched += len(hist)
         if len(hist) == 0:
@@ -481,6 +531,8 @@ def split_level(provider, shift: int, level: int = 0) -> SplitResult:
         cy = hist["cy"].to_numpy(np.int64)
         cx = hist["cx"].to_numpy(np.int64)
         aggs = hist[AGG_COLS].to_numpy(np.int64)
+        if whole:
+            total_rows = int(aggs[:, 0:3].sum())
         # translate to root-relative block coords at granularity gc
         by = cy - (mn_y >> gc)
         bx = cx - (mn_x >> gc)
@@ -494,23 +546,26 @@ def split_level(provider, shift: int, level: int = 0) -> SplitResult:
         while s < s_top:
             if s % 2 == 0:  # (a,a) -> parent (a, a+1): x halves
                 keys = ((keys >> 32) << 32) | ((keys & 0xFFFFFFFF) >> 1)
+                # monotone transform of sorted keys: skip the argsort
+                keys, A = _dedupe_sum(keys, A, assume_sorted=True)
             else:  # (a, a+1) -> parent (a+1, a+1): y halves
                 keys = (((keys >> 32) >> 1) << 32) | (keys & 0xFFFFFFFF)
-            keys, A = _dedupe_sum(keys, A)
+                keys, A = _dedupe_sum(keys, A)
             s += 1
             pyramid[s] = (keys, A)
 
         # top-down sweep
+        refine_rows = 0
         next_pending: dict[int, np.ndarray] = {}
         active: dict[int, np.ndarray] = {}
         for s, ks in pending.items():
-            active[s] = np.asarray(ks, dtype=np.int64)
+            active[s] = np.sort(np.asarray(ks, dtype=np.int64))
         for s in range(s_top, 2 * gc - 1, -1):
             act = active.pop(s, None)
             if act is None or s not in pyramid:
                 continue
             keys, A = pyramid[s]
-            sel = np.isin(keys, act)
+            sel = _in_sorted(keys, act)
             if not sel.any():
                 continue
             bkeys = keys[sel]
@@ -545,15 +600,17 @@ def split_level(provider, shift: int, level: int = 0) -> SplitResult:
                         ]
                     )
                     n_slots = np.where(am, ns, 1)
-                for k, ns, p_, l_, sh_, st_ in zip(
-                    bkeys[acc].tolist(),
-                    n_slots.tolist(),
-                    n_p[acc].tolist(),
-                    n_l[acc].tolist(),
-                    n_s_[acc].tolist(),
-                    s_tot[acc].tolist(),
-                ):
-                    raw_tiles.append((s, k, ns, p_, l_, sh_, st_))
+                # columnar accumulation — a python tuple per accepted
+                # tile cost ~1s of driver time on 300k+-tile rounds
+                blk = np.empty((int(acc.sum()), 7), dtype=np.int64)
+                blk[:, 0] = s
+                blk[:, 1] = bkeys[acc]
+                blk[:, 2] = n_slots
+                blk[:, 3] = n_p[acc]
+                blk[:, 4] = n_l[acc]
+                blk[:, 5] = n_s_[acc]
+                blk[:, 6] = s_tot[acc]
+                raw_tiles.append(blk)
 
             if split.any():
                 sk = bkeys[split]
@@ -564,23 +621,25 @@ def split_level(provider, shift: int, level: int = 0) -> SplitResult:
                         pk = ((ck >> 32) << 32) | ((ck & 0xFFFFFFFF) >> 1)
                     else:
                         pk = (((ck >> 32) >> 1) << 32) | (ck & 0xFFFFFFFF)
-                    child_sel = np.isin(pk, sk)
+                    child_sel = _in_sorted(pk, sk)
                     prev = active.get(s - 1)
-                    newa = ck[child_sel]
+                    newa = np.sort(ck[child_sel])
                     active[s - 1] = newa if prev is None else np.unique(np.concatenate([prev, newa]))
                 else:
                     # cells too coarse to evaluate the children: refine
+                    refine_rows += int(n_tot[split].sum())
                     prev = next_pending.get(s)
                     next_pending[s] = sk if prev is None else np.unique(np.concatenate([prev, sk]))
 
         pending = next_pending
+        pending_rows = refine_rows
 
     # deterministic numbering: (min_lat, min_lon); overflow slots
     # consecutive.  Everything below is vectorized — a Python sort key
     # over 300k+ tiles used to dominate the warm driver loop.
     if not raw_tiles:
         return SplitResult([], TileIndex(mn_y, mn_x, {}), max(refine_rounds, 0), cells_fetched)
-    rt = np.asarray(raw_tiles, dtype=np.int64)
+    rt = np.vstack(raw_tiles)
     s_a, k_a, ns_a = rt[:, 0], rt[:, 1], rt[:, 2]
     a_a = s_a // 2
     b_a = s_a - a_a
