@@ -19,6 +19,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def kernel_partitions(df: DataFrame) -> int:
+    """Partition count for exchanges that feed a Python/Arrow kernel.
+
+    AQE's byte-based coalescing folds a small shuffle into ONE
+    partition — right for JVM relational work, wrong upstream of a
+    CPU-bound kernel (the bytes are small but the per-row Python cost
+    is not, so the whole kernel runs on one core; measured 3x on the
+    number-streams codec).  An explicit numPartitions (REPARTITION_BY_NUM)
+    is exempt from coalescing, so pin such exchanges to the session's
+    configured shuffle parallelism — the same scale knob every other
+    shuffle uses."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def grouped_map_in_pandas(
     df: DataFrame,
     key_cols: list[str],
@@ -36,7 +50,7 @@ def grouped_map_in_pandas(
 
     Key columns must be non-null (coalesce sentinels in — pandas
     treats null != null, which would split groups)."""
-    d = df.repartition(*key_cols).sortWithinPartitions(*key_cols)
+    d = df.repartition(kernel_partitions(df), *key_cols).sortWithinPartitions(*key_cols)
 
     def run(it):
         import numpy as np

@@ -112,8 +112,14 @@ def encode_dem_tiles(cells: DataFrame, key_cols) -> DataFrame:
     tile_height, idx, height."""
     from ..functions.dem_codec import UNDEF, encode_tile
 
+    from ..functions.grouped import kernel_partitions
+
     keys = list(key_cols)
-    grouped = cells.groupBy(*keys, "tile_width", "tile_height").agg(
+    grouped = cells.repartition(
+        kernel_partitions(cells), *keys, "tile_width", "tile_height"
+    ).groupBy(
+        *keys, "tile_width", "tile_height"
+    ).agg(
         F.sort_array(F.collect_list(F.struct("idx", "height"))).alias("cells")
     )
     out_cols = keys + ["tile_width", "tile_height", "base", "max_delta",
@@ -195,8 +201,10 @@ def roundtrip_dem_tiles(cells: DataFrame, width: int, height: int) -> DataFrame:
 
     expected = width * height
 
+    from ..functions.grouped import kernel_partitions
+
     d = cells.select("tile_id", "idx", "height").repartition(
-        "tile_id"
+        kernel_partitions(cells), "tile_id"
     ).sortWithinPartitions("tile_id", "idx")
 
     def kernel(batches):

@@ -67,12 +67,19 @@ def check_roundabout_flares(
         F.col("length").cast("long").alias("length"), "flare_check", "synthesised",
     ).transform(materialize)
 
-    # per-node marks (checkRoundaboutFlares:560-571)
+    # per-node marks (checkRoundaboutFlares:560-571).  Both marks are
+    # loop-invariant: materialize them once (connects used to re-run
+    # its distinct aggregation on every hop) and broadcast them in the
+    # walk joins so the shrinking frontier is never shuffled — each hop
+    # becomes a scan of the frontier checkpoint + two broadcast hash
+    # joins with zero exchanges.  Broadcast safety: both tables are
+    # bounded by the roundabout-node count, a tiny fraction of any map.
     connects = (
         a.filter(~F.col("synthesised") & ~F.col("roundabout"))
         .select(F.col("from_id").alias("node"))
         .distinct()
         .withColumn("_conn", F.lit(True))
+        .transform(materialize)
     )
     next_rab = (
         a.filter(F.col("roundabout") & F.col("forward") & ~F.col("synthesised"))
@@ -94,9 +101,9 @@ def check_roundabout_flares(
     )
     settled = None
     for _ in range(max_hops):
-        fr = frontier.join(connects, frontier["cur"] == connects["node"], "left").drop(
-            "node"
-        )
+        fr = frontier.join(
+            F.broadcast(connects), frontier["cur"] == connects["node"], "left"
+        ).drop("node")
         done = fr.filter(F.col("_conn").isNotNull()).select(
             "start", F.col("cur").alias("nb"), "seg"
         )
@@ -104,7 +111,7 @@ def check_roundabout_flares(
         rest = fr.filter(F.col("_conn").isNull()).drop("_conn")
         # dead ends drop in the inner join; loops back to start drop
         frontier = (
-            rest.join(next_rab, rest["cur"] == next_rab["node"])
+            rest.join(F.broadcast(next_rab), rest["cur"] == next_rab["node"])
             .select(
                 "start",
                 F.col("nxt").alias("cur"),
@@ -123,7 +130,7 @@ def check_roundabout_flares(
     pair0 = settled.select(
         F.col("start").alias("n"), "nb", F.col("seg").alias("seg_fw")
     )
-    rev = pair0.join(next_rab, pair0["nb"] == next_rab["node"]).select(
+    rev = pair0.join(F.broadcast(next_rab), pair0["nb"] == next_rab["node"]).select(
         "n", "nb", F.col("nxt").alias("cur"), F.col("nxt_len").alias("acc")
     )
     rev_done = None
@@ -132,7 +139,7 @@ def check_roundabout_flares(
         rev_done = hit if rev_done is None else rev_done.unionByName(hit)
         rest = rev.filter(F.col("cur") != F.col("n"))
         rev = (
-            rest.join(next_rab, rest["cur"] == next_rab["node"])
+            rest.join(F.broadcast(next_rab), rest["cur"] == next_rab["node"])
             .select(
                 "n", "nb",
                 F.col("nxt").alias("cur"),

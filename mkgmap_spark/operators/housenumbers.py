@@ -499,7 +499,15 @@ def roundtrip_number_streams(intervals: DataFrame) -> DataFrame:
         NumberSpec,
     )
 
-    grouped = intervals.groupBy("road_id").agg(
+    from ..functions.grouped import kernel_partitions
+
+    # explicit repartition pins the kernel's parallelism (the groupBy
+    # reuses the partitioning, so this is still ONE exchange) — AQE
+    # would otherwise coalesce the tiny shuffle to a single partition
+    # and run the whole per-road codec on one core
+    grouped = intervals.repartition(kernel_partitions(intervals), "road_id").groupBy(
+        "road_id"
+    ).agg(
         F.sort_array(
             F.collect_list(
                 F.struct(

@@ -110,7 +110,16 @@ def merge_lines(
             rows.append(list(key) + [int(members[0]), members.tolist(), int(len(m)), total])
         return pd.DataFrame(rows, columns=list(key_cols) + ["chain_id", "member_ids", "n_members", "total_points"])
 
-    return prepared.groupBy(*key_cols).applyInPandas(kernel, out_schema)
+    from ..functions.grouped import kernel_partitions
+
+    # explicit repartition (reused by the groupBy — still one exchange)
+    # keeps the kernel parallel; AQE would coalesce the small shuffle
+    # to one partition and serialize the per-group python work
+    return (
+        prepared.repartition(kernel_partitions(prepared), *key_cols)
+        .groupBy(*key_cols)
+        .applyInPandas(kernel, out_schema)
+    )
 
 
 # RoadMerger.mergeTagsEqualValue:61-76 — roads merge only when all of
@@ -394,4 +403,10 @@ def merge_shapes(
             rows, columns=list(key_cols) + ["ring_idx", "n_points", "area2", "member_ids"]
         )
 
-    return prepared.groupBy(*key_cols).applyInPandas(kernel, out_schema)
+    from ..functions.grouped import kernel_partitions
+
+    return (
+        prepared.repartition(kernel_partitions(prepared), *key_cols)
+        .groupBy(*key_cols)
+        .applyInPandas(kernel, out_schema)
+    )

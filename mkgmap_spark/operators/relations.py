@@ -232,7 +232,9 @@ def apply_pushed_to_members(
             )
             .join(features.select("kind", "id", "tags"), ["kind", "id"])
         )
-        d = x.repartition("kind", "id").sortWithinPartitions(
+        from ..functions.grouped import kernel_partitions
+
+        d = x.repartition(kernel_partitions(x), "kind", "id").sortWithinPartitions(
             "kind", "id", "rel_id", "push_idx", "m_idx"
         )
         # eager localCheckpoint: materializes the round's member
@@ -323,7 +325,13 @@ def assemble_multipolygons(relations: DataFrame, ways: DataFrame) -> DataFrame:
             columns=["rel_id", "ring_idx", "closed", "is_hole", "n_points", "lats", "lons"],
         )
 
-    return joined.groupBy("rel_id").applyInPandas(kernel, MP_OUT_SCHEMA)
+    from ..functions.grouped import kernel_partitions
+
+    return (
+        joined.repartition(kernel_partitions(joined), "rel_id")
+        .groupBy("rel_id")
+        .applyInPandas(kernel, MP_OUT_SCHEMA)
+    )
 
 
 def _stitch_rings(segs):
@@ -431,4 +439,10 @@ def cut_multipolygons(rings: DataFrame) -> DataFrame:
             out, columns=["rel_id", "poly_idx", "n_points", "lats", "lons"]
         )
 
-    return rings.groupBy("rel_id").applyInPandas(kernel, CUT_OUT_SCHEMA)
+    from ..functions.grouped import kernel_partitions
+
+    return (
+        rings.repartition(kernel_partitions(rings), "rel_id")
+        .groupBy("rel_id")
+        .applyInPandas(kernel, CUT_OUT_SCHEMA)
+    )

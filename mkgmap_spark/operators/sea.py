@@ -148,8 +148,15 @@ def assemble_coastlines(
             columns=["component", "n_ways", "closed", "n_points", "min_way_id"],
         )
 
-    return joined.groupBy("component").applyInPandas(
-        kernel, "component long, n_ways int, closed boolean, n_points int, min_way_id long"
+    from ..functions.grouped import kernel_partitions
+
+    return (
+        joined.repartition(kernel_partitions(joined), "component")
+        .groupBy("component")
+        .applyInPandas(
+            kernel,
+            "component long, n_ways int, closed boolean, n_points int, min_way_id long",
+        )
     )
 
 
