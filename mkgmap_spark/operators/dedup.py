@@ -343,9 +343,11 @@ def minhash_pairs_md5(
     # banded self-joins below: materialize once or the shingle+md5+
     # signature pipeline (the expensive part) runs for BOTH join sides
     sigs = sigs.transform(materialize)
+    # the band join + pair dedup only decide WHICH id pairs are
+    # candidates: ship doc ids, not the shingle arrays (guide §8);
+    # shingle sets re-attach afterwards from the materialized sigs
     banded = sigs.select(
         "doc_id",
-        "_shd",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
@@ -353,16 +355,17 @@ def minhash_pairs_md5(
             )
         ).alias("band", "bucket"),
     )
-    a_side = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("_shd").alias("sh_a"), "band", "bucket"
-    )
-    b_side = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("_shd").alias("sh_b"), "band", "bucket"
-    )
-    cands = (
+    a_side = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b_side = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand_ids = (
         a_side.join(b_side, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cands = cand_ids.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("_shd").alias("sh_a")), "doc_a"
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("_shd").alias("sh_b")), "doc_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     uni = F.size("sh_a") + F.size("sh_b") - inter

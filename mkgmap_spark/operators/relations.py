@@ -221,7 +221,9 @@ def apply_pushed_to_members(
             break
         if round_i > 0 and pushes.limit(1).count() == 0:
             break
-        x = (
+        from ..functions.grouped import kernel_partitions
+
+        exploded = (
             pushes.join(relations.select(F.col("id").alias("rel_id"), "members"), "rel_id")
             .select("rel_id", "push_idx", "sub_idx", "ctx", F.posexplode("members").alias("m_idx", "m"))
             .select(
@@ -230,11 +232,17 @@ def apply_pushed_to_members(
                 F.col("m.mtype").alias("kind"),
                 F.col("m.ref").alias("id"),
             )
-            .join(features.select("kind", "id", "tags"), ["kind", "id"])
         )
-        from ..functions.grouped import kernel_partitions
-
-        d = x.repartition(kernel_partitions(x), "kind", "id").sortWithinPartitions(
+        # repartition BEFORE the features join: the join requires
+        # (kind, id) clustering on both sides anyway, so the explicit
+        # exchange doubles as the join's left-side distribution AND the
+        # kernel's partitioning (pinned at the configured parallelism —
+        # AQE would coalesce it under a CPU-bound python stage), saving
+        # the separate post-join repartition exchange.
+        x = exploded.repartition(kernel_partitions(exploded), "kind", "id").join(
+            features.select("kind", "id", "tags"), ["kind", "id"]
+        )
+        d = x.sortWithinPartitions(
             "kind", "id", "rel_id", "push_idx", "m_idx"
         )
         # eager localCheckpoint: materializes the round's member

@@ -113,13 +113,34 @@ def lsh_topk_int(
             ).alias("band", "bucket"),
         )
 
+    # band join + dedup on ids only; vectors re-attach afterwards
+    # (guide §8 — the candidate decision needs no payload).  The
+    # neighbour side re-quantizes from the source scan; the query side
+    # is small and re-derives the same way.
     e = banded(embeddings, id_col, vec_col, "neighbor_id", "v")
     qb = banded(queries, "qid", "qv", "qid", "qvq")
-    cands = (
-        e.join(qb, ["band", "bucket"])
+    cand_ids = (
+        e.select("neighbor_id", "band", "bucket")
+        .join(qb.select("qid", "band", "bucket"), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("qid"))
-        .select("qid", "qvq", "neighbor_id", "v")
+        .select("qid", "neighbor_id")
         .dropDuplicates(["qid", "neighbor_id"])
+    )
+    # re-attach by BROADCASTING the deduped id pairs into the
+    # neighbour scan (the candidate set is bounded by the small query
+    # side, so the big table is never shuffled — it streams through
+    # two broadcast hash joins straight into the per-query top-k)
+    cands = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.expr(qv.format(c=vec_col)).alias("v")
+        )
+        .join(F.broadcast(cand_ids), "neighbor_id")
+        .join(
+            F.broadcast(
+                queries.select(F.col("qid"), F.expr(qv.format(c="qv")).alias("qvq"))
+            ),
+            "qid",
+        )
     )
     dot = F.expr("aggregate(zip_with(qvq, v, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
     w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.col("neighbor_id"))
@@ -377,10 +398,12 @@ def embedding_near_dups(
     )
     # self-join ahead: materialize the signatures once
     base = base.transform(materialize)
+    # the band self-join and the pair dedup only DECIDE which id pairs
+    # are candidates — ship ids, not the 64-long vectors (guide §8:
+    # every shuffle but the last moves a lightweight proxy); vectors
+    # re-attach afterwards from the materialized base, id-keyed
     banded = base.select(
         "vid",
-        "v",
-        "_n2",
         F.posexplode(
             F.array(
                 *[
@@ -392,18 +415,23 @@ def embedding_near_dups(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.select(
-        F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("_n2").alias("na"),
-        "band", "bucket",
-    )
-    b = banded.select(
-        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("_n2").alias("nb"),
-        "band", "bucket",
-    )
-    pairs = (
+    a = banded.select(F.col("vid").alias("vec_a"), "band", "bucket")
+    b = banded.select(F.col("vid").alias("vec_b"), "band", "bucket")
+    pair_ids = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    pairs = pair_ids.join(
+        base.select(
+            F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("_n2").alias("na")
+        ),
+        "vec_a",
+    ).join(
+        base.select(
+            F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("_n2").alias("nb")
+        ),
+        "vec_b",
     )
     dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, (acc, z) -> acc + z)")
     t2 = float(threshold) * float(threshold)

@@ -1424,6 +1424,10 @@ def q_apply_members(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(refs, r -> named_struct('role', 'stop', 'mtype', 'node', 'ref', r))"
             ).alias("members"),
         )
+        # consumed twice (rule compilation -> pushes, and the member
+        # resolution join): materialize so the orders aggregation runs
+        # once instead of once per consumer
+        .transform(materialize)
     )
     feats = o.select(
         F.lit("node").alias("kind"),
