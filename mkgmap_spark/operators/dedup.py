@@ -330,16 +330,35 @@ def minhash_pairs_md5(
         .withColumn("_sh", _shingles_from_tokens("_toks", shingle_k))
         .withColumn("_pre", F.expr(f"transform(_sh, s -> {base})"))
     )
-    sig = F.array(
-        *[
-            F.expr(
-                f"aggregate(_pre, cast(9223372036854775807 as bigint),"
-                f" (acc, v) -> least(acc, {_perm_sql(a, b, c, 'v')}))"
-            )
-            for a, b, c in params
-        ]
+    # the n_hashes permutation minima as ONE vectorized Arrow kernel
+    # over the JVM-computed prehash (guide §4.2): the per-permutation
+    # aggregate() folds are interpreted lambdas with no subexpression
+    # sharing, n_hashes passes over every prehash array; numpy does the
+    # (shingles x permutations) broadcast in one pass.  Exact-int64
+    # equivalence: A/B/C are bounded so no term overflows for 60-bit
+    # prehashes — the values match the SQL fold bit-for-bit.
+    A = np.asarray([p[0] for p in params], dtype=np.int64)
+    B = np.asarray([p[1] for p in params], dtype=np.int64)
+    C = np.asarray([p[2] for p in params], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sig_udf(pre: pd.Series) -> pd.Series:
+        sentinel = np.full(len(A), np.iinfo(np.int64).max, dtype=np.int64)
+        out = []
+        for arr in pre:
+            h = np.asarray(arr, dtype=np.int64)
+            if len(h) == 0:  # fold identity, matching the SQL sentinel
+                out.append(sentinel)
+                continue
+            lo = h & np.int64(0xFFFFFFFF)
+            hi = h >> np.int64(32)
+            m = (lo[:, None] * A[None, :] + hi[:, None] * B[None, :] + C[None, :]).min(axis=0)
+            out.append(m)
+        return pd.Series(out)
+
+    sigs = d.select(
+        "doc_id", F.array_distinct("_sh").alias("_shd"), _sig_udf("_pre").alias("signature")
     )
-    sigs = d.select("doc_id", F.array_distinct("_sh").alias("_shd"), sig.alias("signature"))
     # banded self-joins below: materialize once or the shingle+md5+
     # signature pipeline (the expensive part) runs for BOTH join sides
     sigs = sigs.transform(materialize)

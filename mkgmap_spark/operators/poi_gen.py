@@ -141,37 +141,6 @@ def lines_to_pois(lines: DataFrame, planar: bool = False) -> DataFrame:
         "lats",
         "lons",
     )
-    start = tagged.select(
-        "id", "tags",
-        F.expr("lats[0]").alias("lat"), F.expr("lons[0]").alias("lon"),
-        F.lit("start").alias("poi_type"),
-    )
-    end = tagged.select(
-        "id", "tags",
-        F.expr("lats[size(lats)-1]").alias("lat"),
-        F.expr("lons[size(lons)-1]").alias("lon"),
-        F.lit("end").alias("poi_type"),
-    )
-    # inner points, skipping consecutive duplicates (:316-323)
-    inner = (
-        tagged.filter(F.expr("size(lats) > 2"))
-        .select(
-            "id", "tags",
-            F.explode(
-                F.expr(
-                    "filter(transform(sequence(1, size(lats) - 2), i -> "
-                    "named_struct('y', lats[i], 'x', lons[i], "
-                    "'dup', lats[i] = lats[i-1] and lons[i] = lons[i-1])), "
-                    "p -> not p.dup)"
-                )
-            ).alias("_p"),
-        )
-        .select(
-            "id", "tags",
-            F.col("_p.y").alias("lat"), F.col("_p.x").alias("lon"),
-            F.lit("inner").alias("poi_type"),
-        )
-    )
     # midpoint at half the cumulative length: one aggregate() fold per
     # line walks the segments (POIGeneratorHook:331-357)
     if planar:
@@ -191,7 +160,13 @@ def lines_to_pois(lines: DataFrame, planar: bool = False) -> DataFrame:
             f"pow(cast({dlon} as double) * {_MU!r} * "
             f"cos((cast(lats[i-1] as double) + lats[i]) * {_MU!r} / 2), 2))"
         )
-    dists = f"transform(sequence(1, size(lats) - 1), i -> {seg})"
+    # guard: sequence(1, 0) would be the DESCENDING [1, 0], so gate the
+    # distance array on size >= 2 (single-point lines get no mid POI)
+    dists = (
+        "if(size(lats) >= 2, "
+        f"transform(sequence(1, size(lats) - 1), i -> {seg}), "
+        "array())"
+    )
     walk = (
         "aggregate(_d, "
         "named_struct('rem', _half, 'done', false, 'i', 0), "
@@ -200,29 +175,45 @@ def lines_to_pois(lines: DataFrame, planar: bool = False) -> DataFrame:
         "  if(a.rem <= d, named_struct('rem', if(d = 0D, 0D, a.rem / d), 'done', true, 'i', a.i), "
         "     named_struct('rem', a.rem - d, 'done', false, 'i', a.i + 1))))"
     )
-    mid = (
-        tagged.filter(F.expr("size(lats) >= 2"))
+    # ONE pass over the lines: start, end, deduped inner points and the
+    # midpoint collect into a single per-line POI array exploded once —
+    # the earlier four-branch union scanned the input (and re-derived
+    # the tag map) four times for the same rows
+    inner_arr = (
+        "if(size(lats) > 2, "
+        "filter(transform(sequence(1, size(lats) - 2), i -> "
+        "named_struct('y', lats[i], 'x', lons[i], "
+        "'dup', lats[i] = lats[i-1] and lons[i] = lons[i-1])), "
+        "p -> not p.dup), "
+        "array())"
+    )
+    pois = (
+        "concat("
+        "array(named_struct('y', lats[0], 'x', lons[0], 't', 'start')), "
+        "array(named_struct('y', lats[size(lats)-1], 'x', lons[size(lons)-1], 't', 'end')), "
+        f"transform({inner_arr}, p -> named_struct('y', p.y, 'x', p.x, 't', 'inner')), "
+        "if(_w.done, array(named_struct("
+        "'y', cast(floor(lats[_w.i] + _w.rem * (lats[_w.i + 1] - lats[_w.i]) + 0.5d) as int), "
+        "'x', cast(floor(lons[_w.i] + _w.rem * (lons[_w.i + 1] - lons[_w.i]) + 0.5d) as int), "
+        "'t', 'mid')), array()))"
+    )
+    return (
+        tagged
         # materialize the lengths once: lambda-bearing expressions are
         # excluded from subexpression elimination (SPARK-35410), so
         # inlining dists in both aggregates doubles the sqrt work
         .withColumn("_d", F.expr(dists))
         .withColumn("_half", F.expr("aggregate(_d, 0D, (a, d) -> a + d) / 2"))
         .withColumn("_w", F.expr(walk))
-        .filter(F.col("_w.done"))
+        .select("id", "tags", F.explode(F.expr(pois)).alias("_p"))
         .select(
-            "id", "tags",
-            F.expr(
-                "cast(floor(lats[_w.i] + _w.rem * (lats[_w.i + 1] - lats[_w.i]) + 0.5d) as int)"
-            ).alias("lat"),
-            F.expr(
-                "cast(floor(lons[_w.i] + _w.rem * (lons[_w.i + 1] - lons[_w.i]) + 0.5d) as int)"
-            ).alias("lon"),
-            F.lit("mid").alias("poi_type"),
+            "id",
+            F.map_concat(
+                F.col("tags"),
+                F.create_map(F.lit("mkgmap:line2poitype"), F.col("_p.t")),
+            ).alias("tags"),
+            F.col("_p.y").alias("lat"),
+            F.col("_p.x").alias("lon"),
+            F.col("_p.t").alias("poi_type"),
         )
-    )
-    return start.unionByName(end).unionByName(inner).unionByName(mid).withColumn(
-        "tags",
-        F.map_concat(
-            F.col("tags"), F.create_map(F.lit("mkgmap:line2poitype"), F.col("poi_type"))
-        ),
     )
