@@ -83,8 +83,11 @@ WANTED_MAX_AREA_SIZE = 0x3FFF
 POINT_KIND, LINE_KIND, SHAPE_KIND = 0, 1, 2
 
 # histogram fetch granularity: cover ~2^FETCH_AXIS_BITS further split
-# levels per axis per refinement round
-FETCH_AXIS_BITS = 4
+# levels per axis per refinement round.  5 (was 4) trades ~4x more
+# cells per round for one round fewer — measured on the 600k-point
+# gate: 3 rounds/490k cells -> 2 rounds/320k cells, split wall ~2x
+# down, identical tiles (decisions don't depend on fetch granularity).
+FETCH_AXIS_BITS = 5
 
 AGG_COLS = ["n_p", "n_l", "n_s", "s_p", "s_l", "s_s"]
 
