@@ -45,6 +45,15 @@ def _mu(col: F.Column) -> F.Column:
     return F.floor(col * (1 << 24) / 360.0 + 0.5).cast("int")
 
 
+def _range(spark: SparkSession, n: int) -> DataFrame:
+    """spark.range sized to the data: the default partitioning gives
+    every tiny grid branch defaultParallelism partitions (7 branches x
+    32 empty-ish tasks dominated the query wall); ~2k rows per
+    partition keeps task counts proportional to the grid instead."""
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n // 2048 + 1))
+    return spark.range(0, n, 1, parts)
+
+
 def all_elements(
     spark: SparkSession, base_lat: float = 51.7, base_long: float = 0.24
 ) -> DataFrame:
@@ -82,7 +91,7 @@ def _one_test_map(
     # maintypes 1..0x7f contribute subtype -1..0x1f each; a point gets
     # a name when (subtype < 0) == has_background (drawPoints)
     pts = (
-        spark.range(0, (MAX_POINT_TYPE + 1) * (MAX_POINT_SUB_TYPE + 2))
+        _range(spark, (MAX_POINT_TYPE + 1) * (MAX_POINT_SUB_TYPE + 2))
         .withColumn("maintype", (F.col("id") / (MAX_POINT_SUB_TYPE + 2)).cast("int"))
         .withColumn("subtype", (F.col("id") % (MAX_POINT_SUB_TYPE + 2)).cast("int") - 1)
         .filter((F.col("maintype") > 0) | (F.col("subtype") == -1))
@@ -115,7 +124,7 @@ def _one_test_map(
 
     lines_lon0 = lon0 + 0.002 + (MAX_POINT_TYPE + 1) * ELEMENT_SPACING
     lines = (
-        spark.range(0, MAX_LINE_TYPE_X * MAX_LINE_TYPE_Y)
+        _range(spark, MAX_LINE_TYPE_X * MAX_LINE_TYPE_Y)
         .withColumn("x", (F.col("id") / MAX_LINE_TYPE_Y).cast("int"))
         .withColumn("y", (F.col("id") % MAX_LINE_TYPE_Y).cast("int"))
         .withColumn("type_code", F.col("id").cast("int"))
@@ -150,7 +159,7 @@ def _one_test_map(
 
     shapes_lon0 = lines_lon0 + (MAX_LINE_TYPE_X + 1) * ELEMENT_SPACING
     shapes = (
-        spark.range(0, MAX_SHAPE_TYPE_X * MAX_SHAPE_TYPE_Y)
+        _range(spark, MAX_SHAPE_TYPE_X * MAX_SHAPE_TYPE_Y)
         .withColumn("x", (F.col("id") / MAX_SHAPE_TYPE_Y).cast("int"))
         .withColumn("y", (F.col("id") % MAX_SHAPE_TYPE_Y).cast("int"))
         .withColumn("type_code", F.col("id").cast("int"))
@@ -202,7 +211,7 @@ def test_points(
     spacing = 0.02
     size = 0.002
     pts = (
-        spark.range(0, npoints * npoints)
+        _range(spark, npoints * npoints)
         .withColumn("x", (F.col("id") / npoints).cast("int"))
         .withColumn("y", (F.col("id") % npoints).cast("int"))
         .withColumn("type_code", F.lit(0x2C << 8) + F.col("y").bitwiseAND(0xF))
@@ -221,7 +230,7 @@ def test_points(
         )
     )
     lines = (
-        spark.range(0, npoints * npoints)
+        _range(spark, npoints * npoints)
         .withColumn("x", (F.col("id") / npoints).cast("int"))
         .withColumn("y", (F.col("id") % npoints).cast("int"))
         .withColumn("type_code", (F.col("x") * 16 + F.col("y")).bitwiseAND(0xF))
