@@ -115,13 +115,6 @@ def encode_dem_tiles(cells: DataFrame, key_cols) -> DataFrame:
     from ..functions.grouped import kernel_partitions
 
     keys = list(key_cols)
-    grouped = cells.repartition(
-        kernel_partitions(cells), *keys, "tile_width", "tile_height"
-    ).groupBy(
-        *keys, "tile_width", "tile_height"
-    ).agg(
-        F.sort_array(F.collect_list(F.struct("idx", "height"))).alias("cells")
-    )
     out_cols = keys + ["tile_width", "tile_height", "base", "max_delta",
                        "enc_type", "bs_len", "has_data", "max_height",
                        "stream"]
@@ -131,24 +124,70 @@ def encode_dem_tiles(cells: DataFrame, key_cols) -> DataFrame:
            "enc_type int", "bs_len int", "has_data boolean",
            "max_height int", "stream binary"])
 
+    # flat-column sorted shuffle (same shape as roundtrip_dem_tiles):
+    # one pinned exchange on the tile key, kernel sees numpy columns
+    # and finds group boundaries itself — no struct collect_list, no
+    # per-row dict conversion
+    d = cells.select(
+        *keys, "tile_width", "tile_height", "idx", "height"
+    ).repartition(kernel_partitions(cells), *keys).sortWithinPartitions(*keys, "idx")
+
     def kernel(batches):
-        for pdf in batches:
+        carry: pd.DataFrame | None = None
+
+        def process(pdf, is_last):
+            nonlocal carry
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+            n = len(pdf)
+            if n == 0:
+                return None
+            karr = [pdf[k].to_numpy(np.int64) for k in keys]
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for a in karr:
+                change[1:] |= a[1:] != a[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            if not is_last:
+                carry = pdf.iloc[int(starts[-1]):].reset_index(drop=True)
+                starts, ends = starts[:-1], ends[:-1]
+            if len(starts) == 0:
+                return None
+            widths = pdf["tile_width"].to_numpy(np.int64)
+            heights_dim = pdf["tile_height"].to_numpy(np.int64)
+            hts = pdf["height"].to_numpy(np.int64)
             rows = []
-            for tup in pdf.itertuples(index=False):
-                rec = tup._asdict()
-                w, h = int(rec["tile_width"]), int(rec["tile_height"])
-                heights = [int(c["height"]) for c in rec["cells"]]
-                if len(heights) != w * h:
+            for g in range(len(starts)):
+                s, e = int(starts[g]), int(ends[g])
+                w, h = int(widths[s]), int(heights_dim[s])
+                if e - s != w * h:
                     continue
+                heights = hts[s:e].tolist()
                 base, md, et, bs = encode_tile(heights, w, h)
                 has_data = any(v != UNDEF for v in heights)
-                rows.append(tuple(int(rec[k]) for k in keys) + (
+                rows.append(tuple(int(a[s]) for a in karr) + (
                     w, h, base, md, et, len(bs), has_data,
                     base + md - (0 if et == 0 else 1), bs,
                 ))
-            yield pd.DataFrame(rows, columns=out_cols)
+            if not rows:
+                return None
+            return pd.DataFrame(rows, columns=out_cols)
 
-    return grouped.mapInPandas(kernel, schema)
+        prev = None
+        for pdf in batches:
+            if prev is not None:
+                out = process(prev, is_last=False)
+                if out is not None:
+                    yield out
+            prev = pdf
+        if prev is not None:
+            out = process(prev, is_last=True)
+            if out is not None:
+                yield out
+
+    return d.mapInPandas(kernel, schema)
 
 
 def section_record_desc(tiles: DataFrame, key_cols) -> DataFrame:
