@@ -208,9 +208,19 @@ def section_record_desc(tiles: DataFrame, key_cols) -> DataFrame:
     dl = F.col("data_len")
     offset_size = (F.when(dl <= 0xFF, 1).when(dl <= 0xFFFF, 2)
                     .when(dl <= 0xFFFFFF, 3).otherwise(4))
-    base_size = F.when((F.col("min_base") > -128) & (F.col("max_base") < 128),
-                       1).otherwise(2)
-    delta_size = F.when(F.col("max_delta_height") <= 255, 1).otherwise(2)
+    # all-void sections aggregate min/max over zero valid tiles to
+    # NULL; the reference's sentinel arithmetic (minBase=MAX_VALUE,
+    # maxBase=MIN_VALUE satisfy both comparisons, DEMSection.java:
+    # 171-181) selects size 1 for both fields there
+    base_size = F.when(
+        F.col("min_base").isNull()
+        | ((F.col("min_base") > -128) & (F.col("max_base") < 128)),
+        1,
+    ).otherwise(2)
+    delta_size = F.when(
+        F.col("max_delta_height").isNull() | (F.col("max_delta_height") <= 255),
+        1,
+    ).otherwise(2)
     has_extra = F.col("extra") == 1
     return agg.select(
         *key_cols,
@@ -782,11 +792,18 @@ def load_hgt_grids(dem_dirs: List[str],
     from ..sources.hgt import parse_hgt
 
     out: Dict[Tuple[int, int], Tuple[int, np.ndarray]] = {}
+    empty = np.empty(0, dtype=np.int16)
     for lat in range(min_lat_deg, max_lat_deg):
         for lon in range(min_lon_deg, max_lon_deg):
             name = "%s%02d%s%03d.hgt" % (
                 "N" if lat >= 0 else "S", abs(lat),
                 "E" if lon >= 0 else "W", abs(lon))
+            # missing or invalid cells record res=-1: the reference
+            # treats them as sea (HGTReader res=-1; HGTConverter
+            # getElevation 'res <= 0 -> return 0'), so the sampler's
+            # ocean branch yields height 0 there — outside_height is
+            # reserved for the --dem-poly clip, not missing coverage
+            cell: Tuple[int, np.ndarray] = (-1, empty)
             for d in dem_dirs:
                 p = os.path.join(d, name)
                 if not os.path.exists(p):
@@ -797,6 +814,7 @@ def load_hgt_grids(dem_dirs: List[str],
                     continue
                 # parse_hgt rows start at the north edge; the sampler
                 # indexes south-first
-                out[(lat, lon)] = (res, np.flipud(grid).copy().ravel())
+                cell = (res, np.flipud(grid).copy().ravel())
                 break
+            out[(lat, lon)] = cell
     return out

@@ -44,7 +44,15 @@ def run(cpus: int, corpus: str, out_dir: str, shuffle_partitions: int | None = N
         shuffle_partitions=shuffle_partitions or cpus,
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
-            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            # per-core memory parity across parallelism levels: a real
+            # cluster scales executor memory with cores, so the scaling
+            # protocol must too — a fixed total heap hands the wide leg
+            # 1/4 the per-task memory and measures allocation/GC
+            # starvation instead of scaling (measured ~10% on the wide
+            # leg at local[32]).  Override with SPARK_GRAFT_DRIVER_MEM.
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", f"{max(8, 2 * cpus)}g"
+            ),
             # synthetic corpora are small on disk but CPU-heavy to
             # decode: cap split size so the scan fans out to all cores
             "spark.sql.files.maxPartitionBytes": "2m",

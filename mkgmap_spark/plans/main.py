@@ -233,7 +233,7 @@ def build_dem_for_features(spark: SparkSession, feats: DataFrame,
     ``poly_path`` (--dem-poly, an Osmosis .poly file) clips the lattice
     to the polygon with MapBuilder.java:326-333's guard: the polygon
     only applies when it intersects — but does not fully contain — the
-    tile rect widened by 2 degrees.  ``outside_height``
+    tile rect widened by 2 map units.  ``outside_height``
     (--dem-outside-polygon) is the elevation written outside it,
     default the void value (HGTReader.UNDEF)."""
     import math
@@ -260,9 +260,10 @@ def build_dem_for_features(spark: SparkSession, feats: DataFrame,
         from ..sources.polyfile import read_poly, rect_poly_relation
 
         rings = read_poly(poly_path)
-        # MapBuilder widens the tile rect by 2 degrees and clips only
-        # when the polygon intersects but does not contain it
-        pad = int(to_map_unit(2.0))
+        # MapBuilder widens the tile rect by 2 MAP UNITS (a Rectangle2D
+        # in map units, MapBuilder.java:329-330) and clips only when
+        # the polygon intersects but does not contain it
+        pad = 2
         rel = rect_poly_relation(
             rings,
             int(bounds.min_lat) - pad, int(bounds.min_lon) - pad,
@@ -339,8 +340,11 @@ def run_from_args(spark: SparkSession, argv: list[str]) -> RunResult:
         tiles = build_tiles_from_features(spark, feats, levels=levels)
         fb = FileBuild(fa, feats, tiles)
         if fa.get("dem"):
+            # reference default is "-1" (MapBuilder.java:217): derive
+            # the lattice distance from the best available HGT
+            # resolution (dem_level_plan's auto path)
             dists = [int(x) for x in
-                     (fa.get("dem-dists") or "3312").split(",") if x.strip()]
+                     (fa.get("dem-dists") or "-1").split(",") if x.strip()]
             outside = fa.get("dem-outside-polygon")
             fb.dem_tiles, fb.dem_sections = build_dem_for_features(
                 spark, feats, fa.get("dem").split(","), dists,
