@@ -53,6 +53,26 @@ def brute_force_topk(
     )
 
 
+def _int_sig_udf(planes: list[list[int]]):
+    """Sign-LSH signature as one Arrow kernel: the JVM form evaluated
+    n_planes interpreted zip_with/aggregate folds per row; numpy does
+    the (rows x planes) integer matmul in one pass.  Exact: quantized
+    components and the +-500 plane weights bound every dot far below
+    2^63, and the signature bit is just (dot >= 0)."""
+    P = np.asarray(planes, dtype=np.int64)
+    W = np.int64(1) << np.arange(len(planes), dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def sig(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.vstack([np.asarray(a, dtype=np.int64) for a in vs])
+        bits = (M @ P.T) >= 0
+        return pd.Series((bits * W[None, :]).sum(axis=1))
+
+    return sig
+
+
 def lsh_plane_weights(dim: int, n_planes: int, seed: int = 0xA11CE) -> list[list[int]]:
     """Deterministic integer hyperplane weights in [-500, 500] — shared
     by the Spark expression and the SQL oracle builder so both engines
@@ -83,21 +103,12 @@ def lsh_topk_int(
     planes = lsh_plane_weights(dim, n_planes)
     bits_per_band = n_planes // bands
     qv = f"transform({{c}}, x -> cast(round(x * {scale}, 0) as bigint))"
-
-    def sig_expr(vc: str) -> str:
-        bits = []
-        for p, w in enumerate(planes):
-            warr = "array(" + ", ".join(f"{x}L" for x in w) + ")"
-            dot = (
-                f"aggregate(zip_with({vc}, {warr}, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
-            )
-            bits.append(f"if({dot} >= 0, cast({1 << p} as bigint), 0L)")
-        return "(" + " + ".join(bits) + ")"
+    sig_udf = _int_sig_udf(planes)
 
     def banded(df, idc, vc_in, out_id, out_v):
         d = df.select(
             F.col(idc).alias(out_id), F.expr(qv.format(c=vc_in)).alias(out_v)
-        ).withColumn("_sig", F.expr(sig_expr(out_v)))
+        ).withColumn("_sig", sig_udf(F.col(out_v)))
         return d.select(
             out_id,
             out_v,
@@ -301,47 +312,47 @@ def ivf_topk_int(
     )
     if not cent:
         raise ValueError("no centroid rows (need vec ids < n_centroids)")
-    # literal array<struct<cid, cv>> — ships in the plan once
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cid"])).alias("cid"),
-                F.array(*[F.lit(int(x)) for x in r["cv"]]).alias("cv"),
-            )
-            for r in cent
-        ]
-    )
 
     def dot(a: str, b: str) -> str:
         return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
 
-    # argmax centroid: lexicographic array_max over (dot, cid) structs
-    # == ORDER BY dot DESC, cid DESC LIMIT 1 in the oracle.  The
-    # template takes the vector column name as a format placeholder —
-    # substring replacement would corrupt lambda vars / field names
-    # for many legal column names.
-    def scored(vc: str) -> str:
-        return (
-            f"transform(_cent, c -> named_struct('dot', {dot('c.cv', vc)}, 'cid', c.cid))"
-        )
+    # Bucket assignment / probe ranking run vectorized in Arrow (guide
+    # §4.2): the JVM form was n_centroids interpreted zip_with/aggregate
+    # folds PER ROW.  Exact equivalence with the SQL oracle's
+    # "ORDER BY dot DESC, cid DESC" pick: centroid dots are < 2^43 for
+    # quantized inputs and cid < 2^20, so key = dot * 2^20 + cid orders
+    # (dot, cid) lexicographically in int64 with no overflow; numpy
+    # argmax / argsort on the keys reproduce array_max / array_sort
+    # bit-for-bit (keys are unique because cids are).
+    C = np.asarray([[int(x) for x in r["cv"]] for r in cent], dtype=np.int64)
+    CIDS = np.asarray([int(r["cid"]) for r in cent], dtype=np.int64)
+    _KEY_SHIFT = np.int64(1 << 20)
 
-    e = (
-        embeddings.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
-        .withColumn("_cent", cent_lit)
-        .withColumn("bucket", F.expr(f"array_max({scored('v')}).cid"))
-        .drop("_cent")
-    )
-    # nprobe nearest buckets per query: sort (dot, cid) desc, slice
+    def _dots(vs: pd.Series) -> np.ndarray:
+        return np.vstack([np.asarray(a, dtype=np.int64) for a in vs]) @ C.T
+
+    @F.pandas_udf("long")
+    def _bucket_of(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        keys = _dots(vs) * _KEY_SHIFT + CIDS[None, :]
+        return pd.Series(CIDS[np.argmax(keys, axis=1)])
+
+    @F.pandas_udf("array<long>")
+    def _probes_of(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        keys = _dots(vs) * _KEY_SHIFT + CIDS[None, :]
+        order = np.argsort(keys, axis=1)[:, ::-1][:, :nprobe]
+        return pd.Series(list(CIDS[order]))
+
+    e = embeddings.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", _bucket_of("v"))
+    # nprobe nearest buckets per query: (dot, cid) desc, slice
     q = (
         queries.select("qid", F.col(vec_col).alias("qv"))
-        .withColumn("_cent", cent_lit)
-        .withColumn(
-            "_probes",
-            F.expr(
-                f"transform(slice(reverse(array_sort({scored('qv')})), 1, {nprobe}), s -> s.cid)"
-            ),
-        )
-        .drop("_cent")
+        .withColumn("_probes", _probes_of("qv"))
         .select("qid", "qv", F.explode("_probes").alias("bucket"))
     )
     cands = (
@@ -380,17 +391,11 @@ def embedding_near_dups(
     planes = lsh_plane_weights(dim, n_planes)
     bits_per_band = n_planes // bands
     qv = f"transform({vec_col}, x -> cast(round(x * {scale}, 0) as bigint))"
-
-    bits = []
-    for p, w in enumerate(planes):
-        warr = "array(" + ", ".join(f"{x}L" for x in w) + ")"
-        d = f"aggregate(zip_with(v, {warr}, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
-        bits.append(f"if({d} >= 0, cast({1 << p} as bigint), 0L)")
-    sig = "(" + " + ".join(bits) + ")"
+    sig_udf = _int_sig_udf(planes)
 
     base = (
         embeddings.select(F.col(id_col).alias("vid"), F.expr(qv).alias("v"))
-        .withColumn("_sig", F.expr(sig))
+        .withColumn("_sig", sig_udf(F.col("v")))
         .withColumn(
             "_n2",
             F.expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"),
