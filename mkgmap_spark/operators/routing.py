@@ -74,33 +74,46 @@ def turn_restrictions(
 
     Output (valid restrictions only): (rel_id, restriction, except_mask,
     via_node, from_way, to_way, via_lat, via_lon)."""
+    from ..plans.materialize import materialize as _materialize
+
     tags = F.col("tags")
     rtype = tags.getItem("type")
     is_restriction = rtype.eqNullSafe("restriction") | rtype.startswith("restriction:")
-    r = relations.filter(is_restriction).select(
-        F.col("id").alias("rel_id"), "tags", "members"
-    )
-
     # restriction:<vehicle>=kind TAGS (RestrictionRelation:115-137):
     # when present, the mask starts at 0xff and each named vehicle's
     # bits clear; the kind comes from the plain tag or the first
-    # (key-sorted) vehicle entry; DIFFERING kinds invalidate
+    # (key-sorted) vehicle entry; DIFFERING kinds invalidate.
+    # The sorted-entries and distinct-kinds subtrees are referenced by
+    # several downstream expressions (mask fold, kind fallback,
+    # consistency filter); lambda expressions get no common-
+    # subexpression elimination, so compute both ONCE behind a barrier
+    # and let everything downstream read plain columns.  The
+    # restrictions side is relations-small at any scale, so the
+    # checkpoint is bounded.
+    r = _materialize(
+        relations.filter(is_restriction).select(
+            F.col("id").alias("rel_id"),
+            "tags",
+            "members",
+            F.expr(
+                "array_sort(map_entries(map_filter(tags, (k, v) -> k like 'restriction:%')))"
+            ).alias("_rv"),
+            F.expr(
+                "array_distinct(transform(map_entries(map_filter(tags, (k, v) -> k like 'restriction:%')), e -> e.value))"
+            ).alias("_rvk"),
+        )
+    )
+
     fm0 = _flag_map()
-    rv = F.expr(
-        "array_sort(map_entries(map_filter(tags, (k, v) -> k like 'restriction:%')))"
-    )
-    rv_kinds = F.expr(
-        "array_distinct(transform(map_entries(map_filter(tags, (k, v) -> k like 'restriction:%')), e -> e.value))"
-    )
+    rv = F.col("_rv")
+    rv_kinds = F.col("_rvk")
     rv_mask = F.aggregate(
         rv,
         F.lit(0xFF),
         lambda acc, e: acc
         - acc.bitwiseAND(F.coalesce(fm0[F.substring(e.getField("key"), 13, 64)], F.lit(0))),
     )
-    restriction = F.coalesce(tags.getItem("restriction"), F.expr("get(" + (
-        "array_sort(map_entries(map_filter(tags, (k, v) -> k like 'restriction:%')))"
-    ) + ", 0).value"))
+    restriction = F.coalesce(tags.getItem("restriction"), F.expr("get(_rv, 0).value"))
     # type=restriction:<vehicle> applies only to that vehicle: mask
     # starts at 0xff with the vehicle's bits cleared
     type_vehicle = F.when(
@@ -118,9 +131,7 @@ def turn_restrictions(
     kinds_consistent = (F.size(rv_kinds) <= 1) & (
         tags.getItem("restriction").isNull()
         | (F.size(rv_kinds) == 0)
-        | tags.getItem("restriction").eqNullSafe(F.expr("get(" + (
-            "array_distinct(transform(map_entries(map_filter(tags, (k, v) -> k like 'restriction:%')), e -> e.value))"
-        ) + ", 0)"))
+        | tags.getItem("restriction").eqNullSafe(F.expr("get(_rvk, 0)"))
     )
     r = r.filter(kinds_consistent)
     # except=v1;v2 ORs bits in (split on , or ;)
@@ -179,6 +190,15 @@ def turn_restrictions(
         F.expr("get(_viaw, 0).ref").alias("via_way"),
         F.expr("transform(_viaw, m -> m.ref)").alias("via_ways"),
     )
+    # materialize the validated relations ONCE: everything above is a
+    # ladder of higher-order map/array expressions (mask folds, member
+    # splits, the kind-consistency filter) that Catalyst inlines into
+    # every consumer — and r feeds FIVE scans (rn_b, chk, and the three
+    # via-way-branch derivations), so without a barrier the whole HOF
+    # ladder re-evaluates per scan (no subexpression elimination inside
+    # lambda functions).  The restrictions side is relations-small at
+    # any scale, so the checkpoint is bounded.
+    r = _materialize(r)
 
     wends = ways.select(
         F.col("id").alias("_wid"),
