@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.materialize import materialize
+from ..plans.materialize import materialize, materialize_counted
 
 WARN_OUT_DIR = "outgoing-wrong-direction"
 WARN_IN_DIR = "incoming-wrong-direction"
@@ -67,97 +67,42 @@ def check_roundabout_flares(
         F.col("length").cast("long").alias("length"), "flare_check", "synthesised",
     ).transform(materialize)
 
-    # per-node marks (checkRoundaboutFlares:560-571).  Both marks are
-    # loop-invariant: materialize them once (connects used to re-run
-    # its distinct aggregation on every hop) and broadcast them in the
-    # walk joins so the shrinking frontier is never shuffled — each hop
-    # becomes a scan of the frontier checkpoint + two broadcast hash
-    # joins with zero exchanges.  Broadcast safety: both tables are
-    # bounded by the roundabout-node count, a tiny fraction of any map.
-    connects = (
-        a.filter(~F.col("synthesised") & ~F.col("roundabout"))
-        .select(F.col("from_id").alias("node"))
-        .distinct()
-        .withColumn("_conn", F.lit(True))
-        .transform(materialize)
-    )
-    next_rab = (
-        a.filter(F.col("roundabout") & F.col("forward") & ~F.col("synthesised"))
+    # per-node marks (checkRoundaboutFlares:560-571): one aggregation
+    # pass computes both the connects-non-roundabout flag and the
+    # single forward roundabout successor (same grouping key).  The
+    # marks table is bounded by the junction-node count of the
+    # non-synthesised graph — a tiny fraction of any map.
+    marks, n_marks = materialize_counted(
+        a.filter(~F.col("synthesised"))
         .groupBy("from_id")
-        .agg(F.min(F.struct("road_id", "to_id", "length")).alias("_n"))
-        .select(
-            F.col("from_id").alias("node"),
-            F.col("_n.to_id").alias("nxt"),
-            F.col("_n.length").alias("nxt_len"),
+        .agg(
+            F.max(F.when(~F.col("roundabout"), F.lit(True))).alias("_conn"),
+            F.min(
+                F.when(
+                    F.col("roundabout") & F.col("forward"),
+                    F.struct("road_id", "to_id", "length"),
+                )
+            ).alias("_n"),
         )
-        .transform(materialize)
     )
 
-    # walk 1: n -> first node connecting a non-roundabout segment
-    frontier = next_rab.select(
-        F.col("node").alias("start"),
-        F.col("nxt").alias("cur"),
-        F.col("nxt_len").alias("seg"),
-    )
-    settled = None
-    for _ in range(max_hops):
-        fr = frontier.join(
-            F.broadcast(connects), frontier["cur"] == connects["node"], "left"
-        ).drop("node")
-        done = fr.filter(F.col("_conn").isNotNull()).select(
-            "start", F.col("cur").alias("nb"), "seg"
+    # The walk graph IS the marks table, and the iterative fallback
+    # broadcasts it whole on every hop — so whenever it is broadcast-
+    # sized it is equally driver-sized, and both walks collapse into
+    # dict chases on the driver (the quadtree split uses the same
+    # bounded-collect pattern).  One collect job replaces ~2 jobs per
+    # hop x 2 walks.  The cap keeps the collect honest at scale: above
+    # it, the original hop-joined walk runs instead (and stops
+    # broadcasting, which would be equally unsafe there).
+    cap = int(spark.conf.get("spark.mkgmap.flares.driverWalkCap", "5000000"))
+    if n_marks <= cap:
+        pair_rows = _walk_on_driver(marks, max_hops)
+        pairs = spark.createDataFrame(
+            pair_rows, schema="n long, nb long, seg_fw long"
         )
-        settled = done if settled is None else settled.unionByName(done)
-        rest = fr.filter(F.col("_conn").isNull()).drop("_conn")
-        # dead ends drop in the inner join; loops back to start drop
-        frontier = (
-            rest.join(F.broadcast(next_rab), rest["cur"] == next_rab["node"])
-            .select(
-                "start",
-                F.col("nxt").alias("cur"),
-                (F.col("seg") + F.col("nxt_len")).alias("seg"),
-            )
-            .filter(F.col("cur") != F.col("start"))
-            .transform(materialize)
-        )
-        if frontier.isEmpty():
-            break
-    settled = (settled if settled is not None else frontier.limit(0)).transform(materialize)
-
-    # walk 2: roundaboutSegmentLength(nb, n) (RouteNode:505-527) —
-    # forward roundabout walk from nb until n; unreachable/hop-capped
-    # pairs keep seg_bw null (= MAX_VALUE: the pair still checks)
-    pair0 = settled.select(
-        F.col("start").alias("n"), "nb", F.col("seg").alias("seg_fw")
-    )
-    rev = pair0.join(F.broadcast(next_rab), pair0["nb"] == next_rab["node"]).select(
-        "n", "nb", F.col("nxt").alias("cur"), F.col("nxt_len").alias("acc")
-    )
-    rev_done = None
-    for _ in range(max_hops):
-        hit = rev.filter(F.col("cur") == F.col("n")).select("n", "nb", F.col("acc").alias("seg_bw"))
-        rev_done = hit if rev_done is None else rev_done.unionByName(hit)
-        rest = rev.filter(F.col("cur") != F.col("n"))
-        rev = (
-            rest.join(F.broadcast(next_rab), rest["cur"] == next_rab["node"])
-            .select(
-                "n", "nb",
-                F.col("nxt").alias("cur"),
-                (F.col("acc") + F.col("nxt_len")).alias("acc"),
-            )
-            .transform(materialize)
-        )
-        if rev.isEmpty():
-            break
-    pairs = pair0.join(
-        rev_done if rev_done is not None else pair0.limit(0).select("n", "nb", F.lit(0).alias("seg_bw")),
-        ["n", "nb"],
-        "left",
-    )
-    # only the shorter roundabout segment checks its flare (:610-612)
-    pairs = pairs.filter(
-        F.col("seg_bw").isNull() | (F.col("seg_fw") < F.col("seg_bw"))
-    ).transform(materialize)
+        pairs = F.broadcast(pairs)
+    else:
+        pairs = _walk_iterative(spark, marks, max_hops).transform(materialize)
 
     flare = a.filter(F.col("flare_check"))
     fa = flare.select(
@@ -228,3 +173,148 @@ def check_roundabout_flares(
         "in_road",
         warning.alias("warning"),
     )
+
+
+def _walk_on_driver(marks: DataFrame, max_hops: int) -> list[tuple[int, int, int]]:
+    """Both roundabout walks as driver dict chases over the collected
+    marks table.  Exact mirror of the hop-joined form: walk 1 settles a
+    start node on the FIRST successor (checked after 1..max_hops
+    advancements) that connects a non-roundabout segment, dies on dead
+    ends and on returning to the start; walk 2 accumulates nb -> n and
+    leaves seg_bw unset (pair still checks) when unreachable within the
+    cap.  Returns the shorter-segment pairs (n, nb, seg_fw)."""
+    pdf = marks.select(
+        "from_id",
+        F.col("_conn").isNotNull().alias("conn"),
+        F.col("_n.to_id").alias("nxt"),
+        F.col("_n.length").alias("nxt_len"),
+    ).toPandas()
+    conn = set(pdf.loc[pdf["conn"], "from_id"].tolist())
+    has_nxt = pdf["nxt"].notna()
+    nxt = dict(
+        zip(
+            pdf.loc[has_nxt, "from_id"].tolist(),
+            zip(
+                pdf.loc[has_nxt, "nxt"].astype("int64").tolist(),
+                pdf.loc[has_nxt, "nxt_len"].astype("int64").tolist(),
+            ),
+        )
+    )
+
+    rows: list[tuple[int, int, int]] = []
+    for start, (cur, seg) in nxt.items():
+        settled = None
+        for _ in range(max_hops):
+            if cur in conn:
+                settled = (cur, seg)
+                break
+            step = nxt.get(cur)
+            if step is None:
+                break
+            cur2 = step[0]
+            if cur2 == start:
+                break
+            seg += step[1]
+            cur = cur2
+        if settled is None:
+            continue
+        nb, seg_fw = settled
+        # walk 2: roundaboutSegmentLength(nb, n) (RouteNode:505-527)
+        seg_bw = None
+        step = nxt.get(nb)
+        if step is not None:
+            cur, acc = step
+            for _ in range(max_hops):
+                if cur == start:
+                    seg_bw = acc
+                    break
+                step = nxt.get(cur)
+                if step is None:
+                    break
+                acc += step[1]
+                cur = step[0]
+        # only the shorter roundabout segment checks its flare (:610-612)
+        if seg_bw is None or seg_fw < seg_bw:
+            rows.append((start, nb, seg_fw))
+    return rows
+
+
+def _walk_iterative(spark, marks: DataFrame, max_hops: int) -> DataFrame:
+    """Hop-joined walk fallback for above-cap graphs: bounded iterative
+    equi-joins, frontier materialized per hop, the loop-invariant marks
+    streamed from their checkpoint (same shape as the coastline
+    component propagation).  Returns (n, nb, seg_fw)."""
+    connects = marks.filter(F.col("_conn").isNotNull()).select(
+        F.col("from_id").alias("node"), "_conn"
+    )
+    next_rab = marks.filter(F.col("_n").isNotNull()).select(
+        F.col("from_id").alias("node"),
+        F.col("_n.to_id").alias("nxt"),
+        F.col("_n.length").alias("nxt_len"),
+    )
+
+    # walk 1: n -> first node connecting a non-roundabout segment
+    frontier = next_rab.select(
+        F.col("node").alias("start"),
+        F.col("nxt").alias("cur"),
+        F.col("nxt_len").alias("seg"),
+    )
+    settled = None
+    for _ in range(max_hops):
+        fr = frontier.join(
+            connects, frontier["cur"] == connects["node"], "left"
+        ).drop("node")
+        done = fr.filter(F.col("_conn").isNotNull()).select(
+            "start", F.col("cur").alias("nb"), "seg"
+        )
+        settled = done if settled is None else settled.unionByName(done)
+        rest = fr.filter(F.col("_conn").isNull()).drop("_conn")
+        # dead ends drop in the inner join; loops back to start drop.
+        # materialize_counted: the lineage cut and the termination test
+        # share one driver action per hop
+        frontier, n_left = materialize_counted(
+            rest.join(next_rab, rest["cur"] == next_rab["node"])
+            .select(
+                "start",
+                F.col("nxt").alias("cur"),
+                (F.col("seg") + F.col("nxt_len")).alias("seg"),
+            )
+            .filter(F.col("cur") != F.col("start"))
+        )
+        if n_left == 0:
+            break
+    settled = (settled if settled is not None else frontier.limit(0)).transform(materialize)
+
+    # walk 2: roundaboutSegmentLength(nb, n) (RouteNode:505-527) —
+    # forward roundabout walk from nb until n; unreachable/hop-capped
+    # pairs keep seg_bw null (= MAX_VALUE: the pair still checks)
+    pair0 = settled.select(
+        F.col("start").alias("n"), "nb", F.col("seg").alias("seg_fw")
+    )
+    rev = pair0.join(next_rab, pair0["nb"] == next_rab["node"]).select(
+        "n", "nb", F.col("nxt").alias("cur"), F.col("nxt_len").alias("acc")
+    )
+    rev_done = None
+    for _ in range(max_hops):
+        hit = rev.filter(F.col("cur") == F.col("n")).select("n", "nb", F.col("acc").alias("seg_bw"))
+        rev_done = hit if rev_done is None else rev_done.unionByName(hit)
+        rest = rev.filter(F.col("cur") != F.col("n"))
+        rev, n_left = materialize_counted(
+            rest.join(next_rab, rest["cur"] == next_rab["node"])
+            .select(
+                "n", "nb",
+                F.col("nxt").alias("cur"),
+                (F.col("acc") + F.col("nxt_len")).alias("acc"),
+            )
+        )
+        if n_left == 0:
+            break
+    pairs = pair0.join(
+        rev_done if rev_done is not None else pair0.limit(0).select("n", "nb", F.lit(0).alias("seg_bw")),
+        ["n", "nb"],
+        "left",
+    )
+    # only the shorter roundabout segment checks its flare (:610-612)
+    return pairs.filter(
+        F.col("seg_bw").isNull() | (F.col("seg_fw") < F.col("seg_bw"))
+    ).select("n", "nb", "seg_fw")

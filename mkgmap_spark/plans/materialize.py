@@ -48,3 +48,21 @@ def materialize(df: DataFrame, tag: str = "mat") -> DataFrame:
         df.write.mode("errorifexists").parquet(path)
         return spark.read.parquet(path)
     raise ValueError(f"unknown materialization mode {mode!r} (local|table)")
+
+
+def materialize_counted(df: DataFrame, tag: str = "mat") -> tuple[DataFrame, int]:
+    """``materialize`` that also returns the row count in the SAME job.
+
+    Iterative-walk loops need both a lineage cut and a termination test
+    every hop; done separately that is two driver actions per hop.  In
+    local mode a LAZY localCheckpoint piggybacks block persistence on
+    the count job (the caching machinery saves partitions as the first
+    action computes them), halving the per-hop action count; in table
+    mode the count comes from parquet metadata after the write."""
+    spark = df.sparkSession
+    mode = spark.conf.get(MODE_CONF, "local")
+    if mode == "local":
+        d = df.localCheckpoint(eager=False)
+        return d, d.count()
+    d = materialize(df, tag)
+    return d, d.count()

@@ -1029,3 +1029,31 @@ def test_roundabout_flare_checks(spark):
         spark.createDataFrame(_flare_graph("good"), schema), max_flare_length_ratio=0
     ).collect()
     assert [r for r in rows if r["out_road"] == 701 and r["in_road"] == 702]
+
+
+def test_roundabout_flare_walk_paths_agree(spark):
+    """The above-cap iterative hop-join walk must produce exactly the
+    rows of the default driver dict walk (same graphs as the main
+    test, including a larger ring so the walk takes several hops)."""
+    from mkgmap_spark.operators.flares import check_roundabout_flares
+
+    schema = (
+        "from_id long, to_id long, road_id long, roundabout boolean, "
+        "oneway boolean, forward boolean, length long, flare_check boolean, "
+        "synthesised boolean"
+    )
+    cap_conf = "spark.mkgmap.flares.driverWalkCap"
+    for variant, ring in [("good", 4), ("out-backward", 9), ("out-continues", 6)]:
+        arcs = spark.createDataFrame(_flare_graph(variant, ring=ring), schema)
+        driver_rows = sorted(map(tuple, check_roundabout_flares(arcs).collect()))
+        old = spark.conf.get(cap_conf, None)
+        spark.conf.set(cap_conf, "0")  # force the iterative fallback
+        try:
+            iter_rows = sorted(map(tuple, check_roundabout_flares(arcs).collect()))
+        finally:
+            if old is None:
+                spark.conf.unset(cap_conf)
+            else:
+                spark.conf.set(cap_conf, old)
+        assert driver_rows == iter_rows, (variant, ring)
+        assert driver_rows, (variant, ring)
