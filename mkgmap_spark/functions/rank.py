@@ -29,9 +29,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans.materialize import materialize
+from ..plans.materialize import MODE_CONF, materialize
 
 _PID = "__gr_pid"
+
+
+def _freeze(df: DataFrame) -> DataFrame:
+    """Freeze the range-partition assignment for the two-job scan.
+
+    In local mode a LAZY localCheckpoint suffices: the per-partition
+    count job is always the first action, so block persistence
+    piggybacks on it (one job instead of eager-checkpoint + count),
+    and the rank job then reads the same frozen partitions.  Table
+    mode keeps the eager parquet round-trip."""
+    if df.sparkSession.conf.get(MODE_CONF, "local") == "local":
+        return df.localCheckpoint(eager=False)
+    return materialize(df)
 
 
 def global_rank(
@@ -53,7 +66,7 @@ def global_rank(
     d = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn(_PID, F.spark_partition_id())
-        .transform(materialize)
+        .transform(_freeze)
     )
     counts = {
         r[_PID]: r["cnt"]
@@ -96,7 +109,7 @@ def global_cumsum(
     d = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn(_PID, F.spark_partition_id())
-        .transform(materialize)
+        .transform(_freeze)
     )
     totals = {
         r[_PID]: r["s"]
