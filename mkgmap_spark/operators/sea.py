@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.materialize import materialize
+from ..plans.materialize import materialize, materialize_lazy
 
 
 def coastline_components(
@@ -73,8 +73,10 @@ def coastline_components(
             .drop("_w")
         )
         # materialize per round: an unbounded iterative lineage makes
-        # Catalyst re-analyze an exponentially growing plan
-        cur = cur.transform(materialize)
+        # Catalyst re-analyze an exponentially growing plan.  The lazy
+        # cut persists on the convergence sum's full scan — one job per
+        # round instead of two
+        cur = cur.transform(materialize_lazy)
         s = cur.agg(F.sum("label")).collect()[0][0]
         if s == prev_sum:  # converged (labels only ever decrease)
             break

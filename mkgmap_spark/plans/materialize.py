@@ -50,19 +50,24 @@ def materialize(df: DataFrame, tag: str = "mat") -> DataFrame:
     raise ValueError(f"unknown materialization mode {mode!r} (local|table)")
 
 
-def materialize_counted(df: DataFrame, tag: str = "mat") -> tuple[DataFrame, int]:
-    """``materialize`` that also returns the row count in the SAME job.
+def materialize_lazy(df: DataFrame, tag: str = "mat") -> DataFrame:
+    """``materialize`` whose lineage cut piggybacks on the CALLER'S
+    next action instead of running its own job.
 
-    Iterative-walk loops need both a lineage cut and a termination test
-    every hop; done separately that is two driver actions per hop.  In
-    local mode a LAZY localCheckpoint piggybacks block persistence on
-    the count job (the caching machinery saves partitions as the first
-    action computes them), halving the per-hop action count; in table
-    mode the count comes from parquet metadata after the write."""
-    spark = df.sparkSession
-    mode = spark.conf.get(MODE_CONF, "local")
-    if mode == "local":
-        d = df.localCheckpoint(eager=False)
-        return d, d.count()
-    d = materialize(df, tag)
+    Iterative loops pair every lineage cut with a driver action (a
+    termination test, a convergence sum); done separately that is two
+    jobs per round.  In local mode a LAZY localCheckpoint persists the
+    blocks as the first action computes them — the caller MUST run an
+    action that scans every partition (count/agg-collect do; limit(1)
+    does not) before deriving further frames.  Table mode stays eager
+    (the parquet round-trip is the materialization)."""
+    if df.sparkSession.conf.get(MODE_CONF, "local") == "local":
+        return df.localCheckpoint(eager=False)
+    return materialize(df, tag)
+
+
+def materialize_counted(df: DataFrame, tag: str = "mat") -> tuple[DataFrame, int]:
+    """``materialize`` that also returns the row count in the SAME job
+    (see ``materialize_lazy``; the count is the block-persisting scan)."""
+    d = materialize_lazy(df, tag)
     return d, d.count()
