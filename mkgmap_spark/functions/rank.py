@@ -29,22 +29,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans.materialize import MODE_CONF, materialize
+# materialize_lazy freezes the range-partition assignment for the
+# two-job scan: the per-partition count collect is always the first
+# action, so block persistence piggybacks on it (one job instead of
+# eager-checkpoint + count), and the rank job then reads the same
+# frozen partitions.
+from ..plans.materialize import materialize_lazy as _freeze
 
 _PID = "__gr_pid"
-
-
-def _freeze(df: DataFrame) -> DataFrame:
-    """Freeze the range-partition assignment for the two-job scan.
-
-    In local mode a LAZY localCheckpoint suffices: the per-partition
-    count job is always the first action, so block persistence
-    piggybacks on it (one job instead of eager-checkpoint + count),
-    and the rank job then reads the same frozen partitions.  Table
-    mode keeps the eager parquet round-trip."""
-    if df.sparkSession.conf.get(MODE_CONF, "local") == "local":
-        return df.localCheckpoint(eager=False)
-    return materialize(df)
 
 
 def global_rank(

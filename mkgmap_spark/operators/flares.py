@@ -68,41 +68,67 @@ def check_roundabout_flares(
     ).transform(materialize)
 
     # per-node marks (checkRoundaboutFlares:560-571): one aggregation
-    # pass computes both the connects-non-roundabout flag and the
-    # single forward roundabout successor (same grouping key).  The
-    # marks table is bounded by the junction-node count of the
-    # non-synthesised graph — a tiny fraction of any map.
+    # pass computes the connects-non-roundabout flag and the single
+    # forward roundabout successor (same grouping key: the node).  A
+    # second union stream tags every node that is the TARGET of a
+    # forward roundabout arc — together with the successor sources,
+    # exactly the set of nodes either walk can ever visit — so the
+    # driver fast path below collects only the walk graph, not every
+    # junction of the map.
+    ns = a.filter(~F.col("synthesised"))
     marks, n_marks = materialize_counted(
-        a.filter(~F.col("synthesised"))
-        .groupBy("from_id")
+        ns.select(
+            F.col("from_id").alias("node"),
+            "roundabout", "forward", "road_id", "to_id", "length",
+            F.lit(False).alias("_is_target"),
+        )
+        .unionByName(
+            ns.filter(F.col("roundabout") & F.col("forward")).select(
+                F.col("to_id").alias("node"),
+                "roundabout", "forward", "road_id", "to_id", "length",
+                F.lit(True).alias("_is_target"),
+            )
+        )
+        .groupBy(F.col("node").alias("from_id"))
         .agg(
-            F.max(F.when(~F.col("roundabout"), F.lit(True))).alias("_conn"),
+            F.max(
+                F.when(~F.col("_is_target") & ~F.col("roundabout"), F.lit(True))
+            ).alias("_conn"),
             F.min(
                 F.when(
-                    F.col("roundabout") & F.col("forward"),
+                    ~F.col("_is_target") & F.col("roundabout") & F.col("forward"),
                     F.struct("road_id", "to_id", "length"),
                 )
             ).alias("_n"),
+            F.max(F.when(F.col("_is_target"), F.lit(True))).alias("_tgt"),
         )
     )
+    walk_rows = F.col("_n").isNotNull() | F.col("_tgt").isNotNull()
 
-    # The walk graph IS the marks table, and the iterative fallback
-    # broadcasts it whole on every hop — so whenever it is broadcast-
-    # sized it is equally driver-sized, and both walks collapse into
-    # dict chases on the driver (the quadtree split uses the same
-    # bounded-collect pattern).  One collect job replaces ~2 jobs per
-    # hop x 2 walks.  The cap keeps the collect honest at scale: above
-    # it, the original hop-joined walk runs instead (and stops
-    # broadcasting, which would be equally unsafe there).
+    # The walk graph (successor sources + their targets) is bounded by
+    # the roundabout-node count — a tiny fraction of any map — and the
+    # iterative fallback used to broadcast it whole on every hop, so
+    # whenever it is broadcast-sized it is equally driver-sized: both
+    # walks collapse into dict chases on the driver (the quadtree split
+    # uses the same bounded-collect pattern).  One collect job replaces
+    # ~2 jobs per hop x 2 walks.  The cap keeps the collect honest: the
+    # total marks count gates for free; above it one cheap count of the
+    # filtered walk rows decides, and only a genuinely huge walk graph
+    # falls back to the hop-joined walk (which no longer broadcasts —
+    # that would be equally unsafe there).
     cap = int(spark.conf.get("spark.mkgmap.flares.driverWalkCap", "5000000"))
-    if n_marks <= cap:
-        pair_rows = _walk_on_driver(marks, max_hops)
-        pairs = spark.createDataFrame(
-            pair_rows, schema="n long, nb long, seg_fw long"
+    n_walk = n_marks if n_marks <= cap else marks.filter(walk_rows).count()
+    pair_rows = (
+        _walk_on_driver(marks.filter(walk_rows), max_hops)
+        if n_walk <= cap
+        else None
+    )
+    if pair_rows is not None:
+        pairs = F.broadcast(
+            spark.createDataFrame(pair_rows, schema="n long, nb long, seg_fw long")
         )
-        pairs = F.broadcast(pairs)
     else:
-        pairs = _walk_iterative(spark, marks, max_hops).transform(materialize)
+        pairs = _walk_iterative(marks, max_hops).transform(materialize)
 
     flare = a.filter(F.col("flare_check"))
     fa = flare.select(
@@ -175,28 +201,46 @@ def check_roundabout_flares(
     )
 
 
-def _walk_on_driver(marks: DataFrame, max_hops: int) -> list[tuple[int, int, int]]:
+def _walk_on_driver(
+    marks: DataFrame, max_hops: int
+) -> list[tuple[int, int, int]] | None:
     """Both roundabout walks as driver dict chases over the collected
-    marks table.  Exact mirror of the hop-joined form: walk 1 settles a
-    start node on the FIRST successor (checked after 1..max_hops
-    advancements) that connects a non-roundabout segment, dies on dead
-    ends and on returning to the start; walk 2 accumulates nb -> n and
-    leaves seg_bw unset (pair still checks) when unreachable within the
-    cap.  Returns the shorter-segment pairs (n, nb, seg_fw)."""
+    walk-graph rows.  Exact mirror of the hop-joined form: walk 1
+    settles a start node on the FIRST successor (checked after
+    1..max_hops advancements) that connects a non-roundabout segment,
+    dies on dead ends and on returning to the start; walk 2 accumulates
+    nb -> n and leaves seg_bw unset (pair still checks) when
+    unreachable within the cap.  Returns the shorter-segment pairs
+    (n, nb, seg_fw) — or None when a null id/length appears (the
+    nullable->float64 pandas round-trip would corrupt them; the caller
+    then runs the null-propagating iterative walk instead)."""
     pdf = marks.select(
-        "from_id",
+        # coalesce keeps every collected column a NON-NULL long, so
+        # pandas dtypes stay exact int64 (no float64 detour); the
+        # `bad` flag routes genuinely-null ids/lengths to the fallback
+        F.coalesce("from_id", F.lit(0)).alias("from_id"),
         F.col("_conn").isNotNull().alias("conn"),
-        F.col("_n.to_id").alias("nxt"),
-        F.col("_n.length").alias("nxt_len"),
+        F.col("_n").isNotNull().alias("has_nxt"),
+        F.coalesce(F.col("_n.to_id"), F.lit(0)).alias("nxt"),
+        F.coalesce(F.col("_n.length"), F.lit(0)).alias("nxt_len"),
+        (
+            F.col("from_id").isNull()
+            | (
+                F.col("_n").isNotNull()
+                & (F.col("_n.to_id").isNull() | F.col("_n.length").isNull())
+            )
+        ).alias("bad"),
     ).toPandas()
+    if bool(pdf["bad"].any()):
+        return None
     conn = set(pdf.loc[pdf["conn"], "from_id"].tolist())
-    has_nxt = pdf["nxt"].notna()
+    has_nxt = pdf["has_nxt"]
     nxt = dict(
         zip(
             pdf.loc[has_nxt, "from_id"].tolist(),
             zip(
-                pdf.loc[has_nxt, "nxt"].astype("int64").tolist(),
-                pdf.loc[has_nxt, "nxt_len"].astype("int64").tolist(),
+                pdf.loc[has_nxt, "nxt"].tolist(),
+                pdf.loc[has_nxt, "nxt_len"].tolist(),
             ),
         )
     )
@@ -239,7 +283,7 @@ def _walk_on_driver(marks: DataFrame, max_hops: int) -> list[tuple[int, int, int
     return rows
 
 
-def _walk_iterative(spark, marks: DataFrame, max_hops: int) -> DataFrame:
+def _walk_iterative(marks: DataFrame, max_hops: int) -> DataFrame:
     """Hop-joined walk fallback for above-cap graphs: bounded iterative
     equi-joins, frontier materialized per hop, the loop-invariant marks
     streamed from their checkpoint (same shape as the coastline

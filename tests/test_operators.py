@@ -1043,8 +1043,17 @@ def test_roundabout_flare_walk_paths_agree(spark):
         "synthesised boolean"
     )
     cap_conf = "spark.mkgmap.flares.driverWalkCap"
-    for variant, ring in [("good", 4), ("out-backward", 9), ("out-continues", 6)]:
-        arcs = spark.createDataFrame(_flare_graph(variant, ring=ring), schema)
+    cases = [("good", 4, None), ("out-backward", 9, None), ("out-continues", 6, None)]
+    # a NULL length on a ring arc: the driver path must hand off to the
+    # null-propagating iterative walk (not crash, not corrupt), so both
+    # invocations agree trivially — and still emit the flare triangle
+    cases.append(("good", 4, "null-length"))
+    for variant, ring, twist in cases:
+        graph = _flare_graph(variant, ring=ring)
+        if twist == "null-length":
+            f, t, road, rab, ow, fwd, ln, fc, syn = graph[2]
+            graph[2] = (f, t, road, rab, ow, fwd, None, fc, syn)
+        arcs = spark.createDataFrame(graph, schema)
         driver_rows = sorted(map(tuple, check_roundabout_flares(arcs).collect()))
         old = spark.conf.get(cap_conf, None)
         spark.conf.set(cap_conf, "0")  # force the iterative fallback
@@ -1055,5 +1064,5 @@ def test_roundabout_flare_walk_paths_agree(spark):
                 spark.conf.unset(cap_conf)
             else:
                 spark.conf.set(cap_conf, old)
-        assert driver_rows == iter_rows, (variant, ring)
-        assert driver_rows, (variant, ring)
+        assert driver_rows == iter_rows, (variant, ring, twist)
+        assert driver_rows, (variant, ring, twist)
