@@ -75,6 +75,7 @@ def turn_restrictions(
     Output (valid restrictions only): (rel_id, restriction, except_mask,
     via_node, from_way, to_way, via_lat, via_lon)."""
     from ..plans.materialize import materialize as _materialize
+    from ..plans.materialize import materialize_lazy as _materialize_lazy
 
     tags = F.col("tags")
     rtype = tags.getItem("type")
@@ -89,8 +90,10 @@ def turn_restrictions(
     # subexpression elimination, so compute both ONCE behind a barrier
     # and let everything downstream read plain columns.  The
     # restrictions side is relations-small at any scale, so the
-    # checkpoint is bounded.
-    r = _materialize(
+    # checkpoint is bounded.  The cut is LAZY: the eager checkpoint of
+    # the validated rows below is the next action and fully scans this
+    # frame, so its job persists these blocks too — one job, two cuts.
+    r = _materialize_lazy(
         relations.filter(is_restriction).select(
             F.col("id").alias("rel_id"),
             "tags",

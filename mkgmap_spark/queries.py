@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.cells import CELL_OFFSET, CELL_SPAN
-from .plans.materialize import materialize
+from .plans.materialize import materialize, materialize_lazy
 
 # deterministic key->coordinate scatter (Knuth multiplicative constants)
 C_LAT = 2654435761
@@ -1542,10 +1542,13 @@ def q_turn_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range-partitioned exclusive scan (the count job inside
     # global_rank also gives us N — no extra action on the big table)
     # checkpoint the dense ids once: nodes/ways/rels all derive from n,
-    # and without it each branch re-runs the rank window
+    # and without it each branch re-runs the rank window.  Lazy cut:
+    # the operator's eager checkpoint of the validated relations is the
+    # next action and scans every n partition, persisting these blocks
+    # in the same job
     n = global_rank(o.select("o_orderkey"), ["o_orderkey"], out="n").select(
         "n"
-    ).transform(materialize)
+    ).transform(materialize_lazy)
     nodes = n.select(
         F.col("n").alias("id"), lat_col("n").cast("int").alias("lat"), lon_col("n").cast("int").alias("lon")
     )
