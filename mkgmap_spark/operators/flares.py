@@ -124,8 +124,17 @@ def check_roundabout_flares(
         else None
     )
     if pair_rows is not None:
+        # checkpoint the local rows before broadcasting: embedding the
+        # local relation directly in the plan made the downstream join
+        # stage noticeably slower on its first (only, in a bench run)
+        # execution; the checkpointed form matches the join shape the
+        # hop-joined version always had
         pairs = F.broadcast(
-            spark.createDataFrame(pair_rows, schema="n long, nb long, seg_fw long")
+            materialize(
+                spark.createDataFrame(
+                    pair_rows, schema="n long, nb long, seg_fw long"
+                )
+            )
         )
     else:
         pairs = _walk_iterative(marks, max_hops).transform(materialize)
